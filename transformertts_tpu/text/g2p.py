@@ -1,0 +1,185 @@
+"""Built-in rule-based English grapheme→IPA fallback.
+
+The reference relies on the espeak C library via the ``phonemizer`` package
+(reference: data/text/tokenizer.py:66-74). espeak stays the preferred backend
+when present on the host (see ``phonemizer.py``), but this module provides a
+dependency-free fallback so the framework is usable end-to-end — synthesis,
+preprocessing, and all tests — on machines without espeak.
+
+This is a lexicon + letter-to-sound-rules G2P:
+
+- a small exception lexicon of very frequent English words with irregular
+  spellings, transcribed in the same IPA inventory as espeak en-us output;
+- ordered context-sensitive substring rules for everything else;
+- primary stress ``ˈ`` placed on the first vowel of content words when
+  ``with_stress`` is requested.
+
+Output is restricted to ``symbols.all_phonemes`` so it always tokenizes.
+"""
+import re
+from typing import Dict, List, Tuple
+
+# frequent irregular words (espeak-en-us-like IPA)
+_LEXICON: Dict[str, str] = {
+    'a': 'ɐ', 'an': 'ɐn', 'the': 'ðə', 'of': 'ʌv', 'to': 'tuː', 'and': 'ænd',
+    'in': 'ɪn', 'is': 'ɪz', 'it': 'ɪt', 'you': 'juː', 'that': 'ðæt',
+    'he': 'hiː', 'she': 'ʃiː', 'we': 'wiː', 'they': 'ðeɪ', 'was': 'wʌz',
+    'for': 'fɔːɹ', 'on': 'ɑːn', 'are': 'ɑːɹ', 'as': 'æz', 'with': 'wɪð',
+    'his': 'hɪz', 'her': 'hɜːɹ', 'be': 'biː', 'at': 'æt', 'one': 'wʌn',
+    'have': 'hæv', 'has': 'hæz', 'had': 'hæd', 'this': 'ðɪs', 'from': 'fɹʌm',
+    'or': 'ɔːɹ', 'by': 'baɪ', 'not': 'nɑːt', 'but': 'bʌt', 'what': 'wʌt',
+    'all': 'ɔːl', 'were': 'wɜːɹ', 'when': 'wɛn', 'your': 'jʊɹ', 'can': 'kæn',
+    'said': 'sɛd', 'there': 'ðɛɹ', 'use': 'juːz', 'word': 'wɜːd',
+    'how': 'haʊ', 'each': 'iːtʃ', 'which': 'wɪtʃ', 'do': 'duː',
+    'their': 'ðɛɹ', 'if': 'ɪf', 'will': 'wɪl', 'up': 'ʌp', 'other': 'ʌðɚ',
+    'about': 'ɐbaʊt', 'out': 'aʊt', 'many': 'mɛni', 'then': 'ðɛn',
+    'them': 'ðɛm', 'these': 'ðiːz', 'so': 'soʊ', 'some': 'sʌm',
+    'would': 'wʊd', 'into': 'ɪntuː', 'who': 'huː', 'could': 'kʊd',
+    'been': 'bɪn', 'now': 'naʊ', 'my': 'maɪ', 'than': 'ðæn', 'first': 'fɜːst',
+    'water': 'wɔːtɚ', 'people': 'piːpəl', 'i': 'aɪ', 'me': 'miː',
+    'no': 'noʊ', 'us': 'ʌs', 'two': 'tuː', 'more': 'mɔːɹ', 'go': 'ɡoʊ',
+    'say': 'seɪ', 'says': 'sɛz', 'very': 'vɛɹi', 'does': 'dʌz',
+    'any': 'ɛni', 'our': 'aʊɚ', 'over': 'oʊvɚ', 'know': 'noʊ',
+    'only': 'oʊnli', 'here': 'hɪɹ', 'also': 'ɔːlsoʊ', 'after': 'æftɚ',
+    'again': 'ɐɡɛn', 'before': 'bɪfɔːɹ', 'through': 'θɹuː', 'where': 'wɛɹ',
+    'should': 'ʃʊd', 'because': 'bɪkʌz', 'come': 'kʌm', 'some​thing': 'sʌmθɪŋ',
+    'give': 'ɡɪv', 'day': 'deɪ', 'most': 'moʊst', 'once': 'wʌns',
+    'love': 'lʌv', 'done': 'dʌn', 'gone': 'ɡɔːn', 'none': 'nʌn',
+    'great': 'ɡɹeɪt', 'eye': 'aɪ', 'eyes': 'aɪz', 'heart': 'hɑːɹt',
+    'world': 'wɜːld', 'friend': 'fɹɛnd', 'woman': 'wʊmən', 'women': 'wɪmɪn',
+    'beautiful': 'bjuːɾɪfəl', 'voice': 'vɔɪs', 'speech': 'spiːtʃ',
+    'please': 'pliːz', 'hello': 'hɛloʊ', 'four': 'fɔːɹ', 'though': 'ðoʊ',
+    'thought': 'θɔːt', 'enough': 'ɪnʌf', 'laugh': 'læf', 'island': 'aɪlənd',
+    'hour': 'aʊɚ', 'honest': 'ɑːnɪst', 'answer': 'ænsɚ', 'often': 'ɔːfən',
+    'listen': 'lɪsən', 'half': 'hæf', 'talk': 'tɔːk', 'walk': 'wɔːk',
+    'live': 'lɪv', 'lives': 'lɪvz', 'were​n': 'wɜːn',
+    'mr': 'mɪstɚ', 'mrs': 'mɪsɪz', 'dr': 'dɑːktɚ', 'st': 'seɪnt',
+}
+
+# ordered letter-to-sound rules: (pattern at current position, IPA, advance)
+# longest-match-first within each leading letter.
+_RULES: List[Tuple[str, str]] = [
+    # multi-letter consonant clusters / digraphs
+    ('tch', 'tʃ'), ('sch', 'sk'), ('ght', 't'),
+    ('ch', 'tʃ'), ('sh', 'ʃ'), ('th', 'θ'), ('ph', 'f'), ('wh', 'w'),
+    ('ck', 'k'), ('ng', 'ŋ'), ('qu', 'kw'), ('gh', 'ɡ'), ('kn', 'n'),
+    ('wr', 'ɹ'), ('mb', 'm'), ('dge', 'dʒ'), ('gn', 'n'), ('ps', 's'),
+    ('cc', 'k'), ('ss', 's'), ('ll', 'l'), ('tt', 't'), ('pp', 'p'),
+    ('bb', 'b'), ('dd', 'd'), ('ff', 'f'), ('gg', 'ɡ'), ('mm', 'm'),
+    ('nn', 'n'), ('rr', 'ɹ'), ('zz', 'z'),
+    # vowel teams
+    ('eigh', 'eɪ'), ('aigh', 'eɪ'), ('ough', 'ɔː'), ('augh', 'ɔː'),
+    ('tion', 'ʃən'), ('sion', 'ʒən'), ('ture', 'tʃɚ'), ('cious', 'ʃəs'),
+    ('tious', 'ʃəs'), ('cial', 'ʃəl'), ('tial', 'ʃəl'),
+    ('air', 'ɛɹ'), ('are', 'ɛɹ'), ('ear', 'ɪɹ'), ('eer', 'ɪɹ'),
+    ('oor', 'ɔːɹ'), ('ore', 'ɔːɹ'), ('our', 'aʊɚ'), ('ure', 'ʊɹ'),
+    ('ai', 'eɪ'), ('ay', 'eɪ'), ('au', 'ɔː'), ('aw', 'ɔː'),
+    ('ea', 'iː'), ('ee', 'iː'), ('ei', 'eɪ'), ('ey', 'eɪ'), ('eu', 'juː'),
+    ('ew', 'uː'), ('ie', 'iː'), ('oa', 'oʊ'), ('oe', 'oʊ'), ('oi', 'ɔɪ'),
+    ('oy', 'ɔɪ'), ('oo', 'uː'), ('ou', 'aʊ'), ('ow', 'aʊ'), ('ue', 'uː'),
+    ('ui', 'uː'), ('uy', 'aɪ'),
+    # r-controlled vowels
+    ('ar', 'ɑːɹ'), ('er', 'ɚ'), ('ir', 'ɜː'), ('or', 'ɔːɹ'), ('ur', 'ɜː'),
+    # single letters
+    ('a', 'æ'), ('b', 'b'), ('c', 'k'), ('d', 'd'), ('e', 'ɛ'), ('f', 'f'),
+    ('g', 'ɡ'), ('h', 'h'), ('i', 'ɪ'), ('j', 'dʒ'), ('k', 'k'), ('l', 'l'),
+    ('m', 'm'), ('n', 'n'), ('o', 'ɑː'), ('p', 'p'), ('r', 'ɹ'),
+    ('s', 's'), ('t', 't'), ('u', 'ʌ'), ('v', 'v'), ('w', 'w'),
+    ('x', 'ks'), ('y', 'j'), ('z', 'z'),
+    # german chars from the reference alphabet
+    ('ä', 'ɛ'), ('ö', 'ø'), ('ü', 'y'), ('ß', 's'),
+]
+
+_VOWEL_IPA = set('iyɨʉɯuɪʏʊeøɘəɵɤoɛœɜɞʌɔæɐaɶɑɒᵻ')
+
+_NUMBER_WORDS = {
+    '0': 'zero', '1': 'one', '2': 'two', '3': 'three', '4': 'four',
+    '5': 'five', '6': 'six', '7': 'seven', '8': 'eight', '9': 'nine',
+}
+
+_FUNCTION_WORDS = {
+    'a', 'an', 'the', 'of', 'to', 'and', 'in', 'is', 'it', 'that', 'as',
+    'at', 'on', 'or', 'by', 'for', 'but', 'if', 'so', 'был', 'be',
+}
+
+
+def _apply_rules(word: str) -> str:
+    out = []
+    i = 0
+    n = len(word)
+    while i < n:
+        # soft c / soft g before e, i, y
+        if word[i] == 'c' and i + 1 < n and word[i + 1] in 'eiy':
+            out.append('s')
+            i += 1
+            continue
+        if word[i] == 'g' and i + 1 < n and word[i + 1] in 'eiy' and not word.startswith('gg', i):
+            out.append('dʒ')
+            i += 1
+            continue
+        # magic-e: vowel + consonant + final e → long vowel
+        if (i + 2 == n - 1 and word[i] in 'aeiou' and word[i + 1] not in 'aeiou'
+                and word[n - 1] == 'e'):
+            long_map = {'a': 'eɪ', 'e': 'iː', 'i': 'aɪ', 'o': 'oʊ', 'u': 'juː'}
+            out.append(long_map[word[i]])
+            i += 1
+            continue
+        # final silent e
+        if i == n - 1 and word[i] == 'e' and n > 2:
+            i += 1
+            continue
+        # final y → i
+        if i == n - 1 and word[i] == 'y' and n > 1:
+            out.append('i')
+            i += 1
+            continue
+        for pat, ipa in _RULES:
+            if word.startswith(pat, i):
+                out.append(ipa)
+                i += len(pat)
+                break
+        else:
+            i += 1  # unknown char: drop
+    return ''.join(out)
+
+
+def _add_stress(ipa: str) -> str:
+    for k, ch in enumerate(ipa):
+        if ch in _VOWEL_IPA:
+            return ipa[:k] + 'ˈ' + ipa[k:]
+    return ipa
+
+
+def g2p_word(word: str, with_stress: bool = True) -> str:
+    word = word.lower()
+    if word in _LEXICON:
+        ipa = _LEXICON[word]
+    elif word.endswith("'s") and word[:-2] in _LEXICON:
+        ipa = _LEXICON[word[:-2]] + 'z'
+    else:
+        base = word.replace("'", '')
+        ipa = _apply_rules(base)
+    if with_stress and word not in _FUNCTION_WORDS:
+        ipa = _add_stress(ipa)
+    return ipa
+
+
+_TOKEN_RE = re.compile(r"[a-zA-ZäöüßÄÖÜ']+|\d|[^\sa-zA-ZäöüßÄÖÜ\d']")
+
+
+def g2p_sentence(text: str, with_stress: bool = True) -> str:
+    """Phonemize a sentence with the builtin rules; keeps punctuation chars."""
+    parts = []
+    for tok in _TOKEN_RE.findall(text):
+        if tok[0].isalpha() or tok[0] == "'":
+            parts.append(g2p_word(tok, with_stress=with_stress))
+        elif tok.isdigit():
+            parts.append(g2p_word(_NUMBER_WORDS[tok], with_stress=with_stress))
+        else:
+            # punctuation is passed through; the phonemizer postprocess
+            # filters to the known symbol set.
+            if parts:
+                parts[-1] = parts[-1] + tok
+            else:
+                parts.append(tok)
+    return ' '.join(parts)
