@@ -1,0 +1,160 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transformertts_tpu.nn import core, blocks, masks, posenc, attention
+from transformertts_tpu.nn.length_regulator import regulate_length
+
+
+def test_dense_shapes_and_activation():
+    d = core.Dense(4, 8, activation='relu')
+    p = d.init(jax.random.PRNGKey(0))
+    x = jnp.ones((2, 3, 4))
+    y = d.apply(p, x)
+    assert y.shape == (2, 3, 8)
+    assert (y >= 0).all()
+
+
+def test_conv1d_same_padding_matches_numpy():
+    c = core.Conv1D(2, 3, kernel_size=3)
+    p = c.init(jax.random.PRNGKey(1))
+    x = np.random.RandomState(0).randn(1, 5, 2).astype(np.float32)
+    y = c.apply(p, jnp.asarray(x))
+    assert y.shape == (1, 5, 3)
+    # manual same-conv at position 2
+    k = np.asarray(p['kernel'])
+    expected = sum(x[0, 1 + i] @ k[i] for i in range(3)) + np.asarray(p['bias'])
+    np.testing.assert_allclose(np.asarray(y[0, 2]), expected, rtol=1e-5)
+
+
+def test_layer_norm():
+    ln = core.LayerNorm(8)
+    p = ln.init(None)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 8)) * 5 + 3
+    y = ln.apply(p, x)
+    np.testing.assert_allclose(np.asarray(jnp.mean(y, -1)), 0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(jnp.std(y, -1)), 1, atol=1e-2)
+
+
+def test_positional_encoding_values():
+    pe = posenc.positional_encoding(50, 16)
+    assert pe.shape == (1, 50, 16)
+    np.testing.assert_allclose(np.asarray(pe[0, 0]),
+                               [0, 1] * 8, atol=1e-6)  # sin(0)=0, cos(0)=1
+    # position 1, dim 0: sin(1)
+    assert abs(float(pe[0, 1, 0]) - np.sin(1.0)) < 1e-6
+
+
+def test_masks():
+    seq = jnp.array([[1, 2, 0, 0]])
+    m = masks.encoder_padding_mask(seq)
+    np.testing.assert_array_equal(np.asarray(m[0, 0, 0]), [0, 0, 1, 1])
+    la = masks.look_ahead_mask(3)
+    np.testing.assert_array_equal(np.asarray(la),
+                                  [[0, 1, 1], [0, 0, 1], [0, 0, 0]])
+    mel = jnp.zeros((1, 3, 4)).at[0, 0].set(1.0)
+    mm = masks.mel_padding_mask(mel)
+    np.testing.assert_array_equal(np.asarray(mm[0, 0, 0]), [0, 1, 1])
+
+
+def test_attention_weights_sum_to_one_and_mask():
+    mha = attention.MultiHeadAttention(8, 2, 0.0)
+    p = mha.init(jax.random.PRNGKey(3))
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 5, 8))
+    mask = jnp.zeros((2, 1, 1, 5)).at[:, :, :, 3:].set(1.0)
+    out, w = mha.apply(p, x, x, x, mask)
+    assert out.shape == (2, 5, 8)
+    assert w.shape == (2, 2, 5, 5)
+    np.testing.assert_allclose(np.asarray(jnp.sum(w, -1)), 1.0, atol=1e-5)
+    # masked keys get ~zero weight
+    assert float(jnp.max(w[:, :, :, 3:])) < 1e-6
+
+
+def test_attention_matches_torch_sdpa():
+    """Cross-check the softmax(QK^T/sqrt(d))V core against torch."""
+    torch = pytest.importorskip('torch')
+    rs = np.random.RandomState(0)
+    q = rs.randn(1, 2, 4, 8).astype(np.float32)
+    k = rs.randn(1, 2, 6, 8).astype(np.float32)
+    v = rs.randn(1, 2, 6, 8).astype(np.float32)
+    out, _ = attention.scaled_dot_product_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), None)
+    t_out = torch.nn.functional.scaled_dot_product_attention(
+        torch.from_numpy(q), torch.from_numpy(k), torch.from_numpy(v))
+    np.testing.assert_allclose(np.asarray(out), t_out.numpy(), atol=1e-5)
+
+
+def test_self_attention_blocks_stack():
+    sab = blocks.SelfAttentionBlocks(
+        model_dim=16, feed_forward_dimension=32, num_heads=[2, 2],
+        maximum_position_encoding=100, conv_filters=[32, 16], dropout_rate=0.1,
+        dense_blocks=1, kernel_size=3, conv_activation='relu', name='Enc')
+    p = sab.init(jax.random.PRNGKey(5))
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 7, 16))
+    mask = jnp.zeros((2, 1, 1, 7))
+    y, attn = sab.apply(p, x, mask, deterministic=True)
+    assert y.shape == (2, 7, 16)
+    assert 'Enc_DenseBlock1_SelfAttention' in attn
+    assert 'Enc_ConvBlock1_SelfAttention' in attn
+
+
+def test_cross_attention_blocks():
+    cab = blocks.CrossAttentionBlocks(
+        model_dim=16, feed_forward_dimension=32, num_heads=[2, 2, 1],
+        maximum_position_encoding=100, dropout_rate=0.1, name='Decoder')
+    p = cab.init(jax.random.PRNGKey(7))
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, 5, 16))
+    enc = jax.random.normal(jax.random.PRNGKey(9), (2, 7, 16))
+    la = masks.look_ahead_mask(5)[None, None]
+    pad = jnp.zeros((2, 1, 1, 7))
+    y, attn = cab.apply(p, x, enc, la, pad, deterministic=True)
+    assert y.shape == (2, 5, 16)
+    assert 'Decoder_LastBlock_CrossAttention' in attn
+    assert attn['Decoder_LastBlock_CrossAttention'].shape == (2, 1, 5, 7)
+
+
+def test_length_regulator_reference_example():
+    """Golden test from the reference Expand docstring (model/layers.py:533-542)."""
+    x = jnp.array([[[0.54710746, 0.8943467],
+                    [0.7140938, 0.97968304],
+                    [0.5347662, 0.15213418]]])
+    durations = jnp.array([[1.0, 3.0, 2.0]])
+    out, valid = regulate_length(x, durations, max_frames=8)
+    expected = np.array([[0.54710746, 0.8943467],
+                         [0.7140938, 0.97968304],
+                         [0.7140938, 0.97968304],
+                         [0.7140938, 0.97968304],
+                         [0.5347662, 0.15213418],
+                         [0.5347662, 0.15213418],
+                         [0.0, 0.0],
+                         [0.0, 0.0]])
+    np.testing.assert_allclose(np.asarray(out[0]), expected, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(valid[0]),
+                                  [1, 1, 1, 1, 1, 1, 0, 0])
+
+
+def test_length_regulator_banker_rounding():
+    # tf.round and jnp.round both round half to even: 0.5→0, 1.5→2, 2.5→2
+    x = jnp.ones((1, 3, 2))
+    out, valid = regulate_length(x, jnp.array([[0.5, 1.5, 2.5]]), max_frames=6)
+    assert int(jnp.sum(valid)) == 4  # 0 + 2 + 2
+
+
+def test_length_regulator_jit_static_shape():
+    f = jax.jit(lambda x, d: regulate_length(x, d, max_frames=10))
+    x = jnp.ones((2, 4, 3))
+    d = jnp.array([[1., 2., 1., 1.], [2., 2., 2., 2.]])
+    out, valid = f(x, d)
+    assert out.shape == (2, 10, 3)
+    np.testing.assert_array_equal(np.asarray(jnp.sum(valid, -1)), [5, 8])
+
+
+def test_stat_predictor():
+    sp = blocks.StatPredictor(16, [8, 8], 3, 'relu', 'relu', 0.1)
+    p = sp.init(jax.random.PRNGKey(10))
+    x = jax.random.normal(jax.random.PRNGKey(11), (2, 5, 16))
+    mask = jnp.ones((2, 5, 1)).at[1, 3:].set(0.0)
+    y = sp.apply(p, x, mask, deterministic=True)
+    assert y.shape == (2, 5, 1)
+    assert float(jnp.sum(jnp.abs(y[1, 3:]))) == 0.0

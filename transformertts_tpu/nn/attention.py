@@ -1,0 +1,113 @@
+"""Multi-head attention with the reference's nonstandard output projection.
+
+The reference MHA (model/layers.py:105-151) projects
+``concat([q_in, attention_output], -1)`` — a (2·model_dim → model_dim) output
+dense — instead of the usual attention-only projection. This is
+checkpoint-shape critical, so it is preserved here.
+
+Two compute paths:
+- a jnp softmax path that also returns attention weights (needed by the
+  Aligner teacher, diagonal-forcing losses and TensorBoard diagnostics);
+- a fused Pallas flash-attention path (ops/flash_attention.py) used when
+  weights are not needed — O(T) memory, MXU-resident.
+"""
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from transformertts_tpu.nn import core
+
+NEG_INF = -1e9
+
+
+def scaled_dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                                 mask: Optional[jax.Array],
+                                 dropout_rate: float = 0.0,
+                                 rng: Optional[jax.Array] = None,
+                                 deterministic: bool = True
+                                 ) -> Tuple[jax.Array, jax.Array]:
+    """q,k,v: (B, H, T, D). mask broadcastable to (B, H, Tq, Tk), 1 = masked.
+
+    Returns (output (B,H,Tq,D), weights (B,H,Tq,Tk)). Softmax in float32.
+    """
+    dk = q.shape[-1]
+    logits = jnp.einsum('bhqd,bhkd->bhqk', q, k,
+                        precision=core.PRECISION,
+                        preferred_element_type=jnp.float32)
+    logits = logits / jnp.sqrt(jnp.float32(dk))
+    if mask is not None:
+        logits = logits + mask.astype(jnp.float32) * NEG_INF
+    weights = jax.nn.softmax(logits, axis=-1)
+    weights_used = core.dropout(weights, dropout_rate, rng, deterministic)
+    out = jnp.einsum('bhqk,bhkd->bhqd', weights_used.astype(v.dtype), v,
+                     precision=core.PRECISION,
+                     preferred_element_type=jnp.float32).astype(v.dtype)
+    return out, weights
+
+
+class MultiHeadAttention:
+
+    def __init__(self, model_dim: int, num_heads: int, dropout_rate: float):
+        assert model_dim % num_heads == 0
+        self.model_dim = model_dim
+        self.num_heads = num_heads
+        self.depth = model_dim // num_heads
+        self.dropout_rate = dropout_rate
+        self.wq = core.Dense(model_dim, model_dim)
+        self.wk = core.Dense(model_dim, model_dim)
+        self.wv = core.Dense(model_dim, model_dim)
+        # output projection consumes concat([q_in, attn], -1)
+        self.wo = core.Dense(2 * model_dim, model_dim)
+
+    def init(self, key) -> core.Params:
+        return core.init_submodules(key, {
+            'wq': self.wq, 'wk': self.wk, 'wv': self.wv, 'wo': self.wo})
+
+    def _split_heads(self, x: jax.Array) -> jax.Array:
+        b, t, _ = x.shape
+        return x.reshape(b, t, self.num_heads, self.depth).transpose(0, 2, 1, 3)
+
+    def _merge_heads(self, x: jax.Array) -> jax.Array:
+        b, h, t, d = x.shape
+        return x.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+
+    def apply(self, params: core.Params, v_in: jax.Array, k_in: jax.Array,
+              q_in: jax.Array, mask: Optional[jax.Array],
+              rng: Optional[jax.Array] = None, deterministic: bool = True
+              ) -> Tuple[jax.Array, jax.Array]:
+        q = self._split_heads(self.wq.apply(params['wq'], q_in))
+        k = self._split_heads(self.wk.apply(params['wk'], k_in))
+        v = self._split_heads(self.wv.apply(params['wv'], v_in))
+        attn_rng, out_rng = (jax.random.split(rng) if rng is not None else (None, None))
+        attn, weights = scaled_dot_product_attention(
+            q, k, v, mask, self.dropout_rate, attn_rng, deterministic)
+        attn = self._merge_heads(attn)
+        out = self.wo.apply(params['wo'], jnp.concatenate([q_in, attn], axis=-1))
+        out = core.dropout(out, self.dropout_rate, out_rng, deterministic)
+        return out, weights
+
+    def apply_cached(self, params: core.Params, q_in: jax.Array,
+                     k_cache: jax.Array, v_cache: jax.Array,
+                     new_kv_in: jax.Array, cache_index: jax.Array,
+                     mask: Optional[jax.Array]
+                     ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+        """Incremental self-attention for autoregressive decode.
+
+        ``k_cache``/``v_cache`` are (B, H, T_max, D) rings written at
+        ``cache_index``. ``new_kv_in`` is the (B, 1, model_dim) new position
+        input; ``q_in`` the same position's query input. The causal property
+        is enforced by masking positions > cache_index via ``mask``.
+        Deterministic (no dropout) — decode path only.
+        """
+        q = self._split_heads(self.wq.apply(params['wq'], q_in))
+        k_new = self._split_heads(self.wk.apply(params['wk'], new_kv_in))
+        v_new = self._split_heads(self.wv.apply(params['wv'], new_kv_in))
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k_new.astype(k_cache.dtype), (0, 0, cache_index, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v_new.astype(v_cache.dtype), (0, 0, cache_index, 0))
+        attn, weights = scaled_dot_product_attention(q, k_cache, v_cache, mask)
+        attn = self._merge_heads(attn)
+        out = self.wo.apply(params['wo'], jnp.concatenate([q_in, attn], axis=-1))
+        return out, weights, k_cache, v_cache

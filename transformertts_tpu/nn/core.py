@@ -1,0 +1,168 @@
+"""Functional NN primitives over explicit parameter pytrees.
+
+Design: every module is a lightweight Python object holding only *static*
+configuration. ``init(key)`` returns a nested-dict parameter pytree;
+``apply(params, ...)`` is a pure function of (params, inputs). jit/grad/pjit
+are applied at the step-function level, never inside modules — so the whole
+model is a single XLA computation with static shapes.
+
+Initializers match the reference's Keras defaults (glorot-uniform kernels,
+zero biases, uniform(-0.05, 0.05) embeddings, LayerNorm eps 1e-6) so that a
+converted reference checkpoint drops into the same pytree slots.
+
+Matmuls accumulate in float32 via ``preferred_element_type`` regardless of the
+compute dtype, which keeps bfloat16 compute MXU-friendly without precision
+cliffs. ``Precision.HIGHEST`` is used throughout: speed comes from the dtype
+policy (cast to bfloat16 where wanted), not from JAX's implicit low-precision
+matmul default — so float32 paths stay exactly float32.
+"""
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = dict
+
+PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _glorot_uniform(key, shape, fan_in, fan_out, dtype=jnp.float32):
+    limit = np.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+def _activation(name: Optional[str]):
+    if name is None or name == 'linear':
+        return lambda x: x
+    if name == 'relu':
+        return jax.nn.relu
+    if name == 'tanh':
+        return jnp.tanh
+    if name == 'sigmoid':
+        return jax.nn.sigmoid
+    if name == 'gelu':
+        return jax.nn.gelu
+    raise ValueError(f'unknown activation: {name}')
+
+
+def dropout(x: jax.Array, rate: float, rng: Optional[jax.Array], deterministic: bool) -> jax.Array:
+    """Inverted dropout; identity when deterministic or rate == 0."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, p=keep, shape=x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x)).astype(x.dtype)
+
+
+class Dense:
+    """y = act(x @ kernel + bias). Kernel layout (in, out) = Keras layout."""
+
+    def __init__(self, in_dim: int, out_dim: int, activation: Optional[str] = None,
+                 use_bias: bool = True):
+        self.in_dim = in_dim
+        self.out_dim = out_dim
+        self.act = _activation(activation)
+        self.use_bias = use_bias
+
+    def init(self, key) -> Params:
+        p = {'kernel': _glorot_uniform(key, (self.in_dim, self.out_dim),
+                                       self.in_dim, self.out_dim)}
+        if self.use_bias:
+            p['bias'] = jnp.zeros((self.out_dim,), jnp.float32)
+        return p
+
+    def apply(self, params: Params, x: jax.Array) -> jax.Array:
+        y = jnp.dot(x, params['kernel'].astype(x.dtype),
+                    precision=PRECISION, preferred_element_type=jnp.float32)
+        if self.use_bias:
+            y = y + params['bias']
+        return self.act(y).astype(x.dtype)
+
+
+class Conv1D:
+    """Time-wise 1D convolution over (batch, time, channels).
+
+    Kernel layout (width, in, out) = Keras Conv1D layout for direct
+    checkpoint conversion.
+    """
+
+    def __init__(self, in_dim: int, filters: int, kernel_size: int,
+                 padding: str = 'SAME', activation: Optional[str] = None):
+        self.in_dim = in_dim
+        self.filters = filters
+        self.kernel_size = kernel_size
+        self.padding = padding.upper()
+        self.act = _activation(activation)
+
+    def init(self, key) -> Params:
+        fan_in = self.in_dim * self.kernel_size
+        fan_out = self.filters * self.kernel_size
+        return {
+            'kernel': _glorot_uniform(key, (self.kernel_size, self.in_dim, self.filters),
+                                      fan_in, fan_out),
+            'bias': jnp.zeros((self.filters,), jnp.float32),
+        }
+
+    def apply(self, params: Params, x: jax.Array) -> jax.Array:
+        y = jax.lax.conv_general_dilated(
+            x, params['kernel'].astype(x.dtype),
+            window_strides=(1,),
+            padding=self.padding,
+            dimension_numbers=('NWC', 'WIO', 'NWC'),
+            precision=PRECISION,
+            preferred_element_type=jnp.float32)
+        y = y + params['bias']
+        return self.act(y).astype(x.dtype)
+
+
+class LayerNorm:
+    """LayerNorm over the last axis, eps matches the reference (1e-6)."""
+
+    def __init__(self, dim: int, eps: float = 1e-6):
+        self.dim = dim
+        self.eps = eps
+
+    def init(self, key) -> Params:
+        del key
+        return {'gamma': jnp.ones((self.dim,), jnp.float32),
+                'beta': jnp.zeros((self.dim,), jnp.float32)}
+
+    def apply(self, params: Params, x: jax.Array) -> jax.Array:
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * params['gamma'] + params['beta']).astype(x.dtype)
+
+
+class Embedding:
+    """Token embedding table; row order is fixed by the tokenizer alphabet."""
+
+    def __init__(self, vocab_size: int, dim: int):
+        self.vocab_size = vocab_size
+        self.dim = dim
+
+    def init(self, key) -> Params:
+        return {'table': jax.random.uniform(key, (self.vocab_size, self.dim),
+                                            jnp.float32, -0.05, 0.05)}
+
+    def apply(self, params: Params, ids: jax.Array) -> jax.Array:
+        return jnp.take(params['table'], ids, axis=0)
+
+
+class Sequential:
+    """Named sub-module composition helper for init only."""
+
+    def __init__(self, modules: Sequence):
+        self.modules = list(modules)
+
+
+def split_keys(key, n: int):
+    return list(jax.random.split(key, n))
+
+
+def init_submodules(key, named_modules: dict) -> Params:
+    """Initialize a dict of {name: module} into {name: params}."""
+    keys = split_keys(key, max(len(named_modules), 1))
+    return {name: mod.init(k) for (name, mod), k in zip(named_modules.items(), keys)}
