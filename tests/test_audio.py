@@ -1,0 +1,168 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from transformertts_tpu.audio import spectral, griffinlim, pitch, vad, Audio, MelGAN, WaveRNN
+
+SR, NFFT, HOP, WIN, MELS, FMIN, FMAX = 22050, 1024, 256, 1024, 80, 0, 8000
+
+
+def _tone(freq=440.0, dur=0.5, sr=SR):
+    t = np.arange(int(sr * dur)) / sr
+    return (0.5 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+def test_stft_matches_torch():
+    torch = pytest.importorskip('torch')
+    y = _tone()
+    D_np = spectral.stft_np(y, NFFT, HOP, WIN)
+    t_D = torch.stft(torch.from_numpy(y), n_fft=NFFT, hop_length=HOP,
+                     win_length=WIN, window=torch.hann_window(WIN, periodic=True),
+                     center=True, pad_mode='reflect', return_complex=True)
+    t_D = t_D.numpy().T  # torch is (bins, frames)
+    assert D_np.shape == t_D.shape
+    np.testing.assert_allclose(np.abs(D_np), np.abs(t_D), atol=1e-3)
+
+
+def test_jnp_stft_matches_numpy():
+    y = _tone()
+    D_np = np.abs(spectral.stft_np(y, NFFT, HOP, WIN))
+    mag = spectral.stft_magnitude(jnp.asarray(y), NFFT, HOP, WIN)
+    np.testing.assert_allclose(np.asarray(mag), D_np, atol=2e-3)
+
+
+def test_mel_filterbank_invariants():
+    fb = spectral.mel_filterbank(SR, NFFT, MELS, FMIN, FMAX)
+    assert fb.shape == (MELS, 1 + NFFT // 2)
+    assert (fb >= 0).all()
+    # every filter has support
+    assert (fb.sum(axis=1) > 0).all()
+    # filters are band-limited below f_max bin
+    fmax_bin = int(np.ceil(FMAX / (SR / 2) * (NFFT // 2)))
+    assert fb[:, fmax_bin + 2:].sum() == 0
+    # slaney mel: first breakpoint linear region → filter peaks increase
+    peaks = fb.argmax(axis=1)
+    assert (np.diff(peaks) >= 0).all()
+
+
+def test_mel_spectrogram_jnp_matches_np():
+    y = _tone()
+    m_np = spectral.mel_spectrogram_np(y, SR, NFFT, HOP, WIN, MELS, FMIN, FMAX)
+    m_j = spectral.mel_spectrogram(jnp.asarray(y), SR, NFFT, HOP, WIN, MELS, FMIN, FMAX)
+    assert m_np.shape == m_j.shape
+    np.testing.assert_allclose(np.asarray(m_j), m_np, atol=5e-3)
+    # a 440 Hz tone peaks in the right mel bin region
+    peak_bin = m_np.mean(axis=0).argmax()
+    assert 5 < peak_bin < 25
+
+
+def test_istft_roundtrip():
+    # recoverable length is hop * (n_frames - 1)
+    y = _tone(dur=0.3)
+    re, im = spectral.stft(jnp.asarray(y), NFFT, HOP, WIN)
+    y_rec = np.asarray(spectral.istft(re, im, NFFT, HOP, WIN))
+    np.testing.assert_allclose(y_rec, y[:len(y_rec)], atol=1e-3)
+
+
+def test_istft_np_roundtrip():
+    y = _tone(dur=0.3)
+    D = spectral.stft_np(y, NFFT, HOP, WIN)
+    y_rec = spectral.istft_np(D, NFFT, HOP, WIN)
+    np.testing.assert_allclose(y_rec, y[:len(y_rec)], atol=1e-6)
+
+
+def test_griffin_lim_reconstructs_tone():
+    y = _tone(freq=220.0, dur=0.4)
+    S = np.abs(spectral.stft_np(y, NFFT, HOP, WIN)).astype(np.float32)
+    wav = griffinlim.griffin_lim(jnp.asarray(S), 32, NFFT, HOP, WIN)
+    wav = np.asarray(wav)
+    # spectral match: reconstructed magnitude close to target
+    S_rec = np.abs(spectral.stft_np(wav, NFFT, HOP, WIN))
+    err = np.linalg.norm(S_rec[4:-4] - S[4:-4]) / np.linalg.norm(S[4:-4])
+    assert err < 0.15
+
+
+def test_mel_to_linear_pinv():
+    y = _tone()
+    S = np.abs(spectral.stft_np(y, NFFT, HOP, WIN))
+    fb = spectral.mel_filterbank(SR, NFFT, MELS, FMIN, FMAX)
+    mel = S @ fb.T
+    S_rec = griffinlim.mel_to_linear(jnp.asarray(mel, jnp.float32), SR, NFFT, FMIN, FMAX)
+    # projecting back to mel must be close to original mel
+    mel_rec = np.asarray(S_rec) @ fb.T
+    err = np.linalg.norm(mel_rec - mel) / np.linalg.norm(mel)
+    assert err < 0.05
+
+
+def test_normalizers_roundtrip():
+    # WaveRNN's dB scaling clips outside [1e-5, 1], so test within that range
+    S = np.random.RandomState(0).uniform(1e-4, 0.9, (10, 80)).astype(np.float32)
+    for norm in (MelGAN(), WaveRNN()):
+        S_n = norm.normalize(S)
+        S_d = norm.denormalize(S_n)
+        np.testing.assert_allclose(S_d, S, rtol=1e-3, atol=1e-4)
+
+
+def test_pitch_on_tone():
+    f0 = pitch.extract_pitch_np(_tone(freq=220.0, dur=0.5), SR, HOP)
+    assert len(f0) == 1 + int(SR * 0.5) // HOP
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 0.7 * len(f0)
+    med = np.median(voiced)
+    assert abs(med - 220.0) < 5.0, f'median pitch {med}'
+
+
+def test_pitch_silence_unvoiced():
+    f0 = pitch.extract_pitch_np(np.zeros(8000, np.float32), SR, HOP)
+    assert (f0 == 0).all()
+
+
+def test_vad_trims_silence():
+    sr = 16000
+    speech = _tone(freq=200, dur=0.5, sr=sr)
+    silence = np.zeros(sr, np.float32)
+    wav = np.concatenate([silence, speech, silence])
+    trimmed = vad.trim_long_silences(wav, sr, window_ms=30,
+                                     moving_average_width=8, max_silence_length=12)
+    assert len(trimmed) < len(wav)
+    assert len(trimmed) >= len(speech) * 0.8
+
+
+def test_trim_silence_top_db():
+    wav = np.concatenate([np.zeros(2000, np.float32), _tone(dur=0.2),
+                          np.zeros(2000, np.float32)])
+    trimmed = vad.trim_silence_top_db(wav, top_db=40)
+    assert len(trimmed) < len(wav)
+    assert np.abs(trimmed).max() == np.abs(wav).max()
+
+
+def test_audio_class_end_to_end(tmp_path):
+    audio = Audio(sampling_rate=SR, n_fft=NFFT, mel_channels=MELS,
+                  hop_length=HOP, win_length=WIN, f_min=FMIN, f_max=FMAX,
+                  normalizer='MelGAN', norm_wav=True, target_dBFS=-30,
+                  int16_max=32767, trim_long_silences=False, trim_silence=False,
+                  trim_silence_top_db=60)
+    y = _tone(dur=0.4)
+    mel = audio.mel_spectrogram(y)
+    assert mel.shape[1] == MELS
+    assert mel.shape[0] == 1 + len(y) // HOP
+    wav = audio.reconstruct_waveform(mel, n_iter=8)
+    assert len(wav) > 0
+    p = tmp_path / 'out.wav'
+    audio.save_wav(wav, p)
+    y2, sr = audio.load_wav(p, preprocess=False)
+    assert sr == SR and len(y2) > 0
+    # config roundtrip
+    audio2 = Audio.from_config(audio.config)
+    assert audio2.sampling_rate == SR
+
+
+def test_audio_accepts_reference_mel_orientation():
+    audio = Audio(sampling_rate=SR, n_fft=NFFT, mel_channels=MELS,
+                  hop_length=HOP, win_length=WIN, f_min=FMIN, f_max=FMAX,
+                  normalizer='MelGAN')
+    y = _tone(dur=0.3)
+    mel = audio.mel_spectrogram(y)  # (frames, mels)
+    w1 = audio.reconstruct_waveform(mel, n_iter=2)
+    w2 = audio.reconstruct_waveform(mel.T, n_iter=2)  # reference passes (mels, frames)
+    np.testing.assert_allclose(w1, w2, atol=1e-5)

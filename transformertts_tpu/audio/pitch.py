@@ -1,0 +1,88 @@
+"""F0 (pitch) extraction, on-device.
+
+The reference calls pyworld's DIO + StoneMask C++ estimator per clip on host
+(data/audio.py:146-151). Here F0 is a batched, jitted YIN-style estimator
+(de Cheveigné & Kawahara 2002) formulated as FFT autocorrelations + cumulative
+sums — fully vectorized over frames so a whole utterance (or a batch of
+utterances) is one XLA computation. Used by the stage-1 preprocessing job.
+
+Frame alignment matches the mel frontend: hop-centered frames, output length
+``1 + len(wav) // hop_length`` == mel frame count (the reference asserts this
+agreement in create_training_data.py:46-47).
+
+Unvoiced frames are 0.0, like pyworld.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=('sampling_rate', 'hop_length', 'frame_length',
+                                   'f0_floor', 'f0_ceil', 'threshold'))
+def yin_f0(wav: jax.Array, sampling_rate: int, hop_length: int,
+           frame_length: int = 2048, f0_floor: float = 65.0,
+           f0_ceil: float = 600.0, threshold: float = 0.15) -> jax.Array:
+    """Estimate per-frame F0 of ``wav`` (T,) → (1 + T//hop,) Hz, 0 = unvoiced."""
+    wav = wav.astype(jnp.float32)
+    n_frames = 1 + wav.shape[0] // hop_length
+    tau_min = max(2, int(sampling_rate / f0_ceil))
+    tau_max = min(frame_length // 2, int(np.ceil(sampling_rate / f0_floor)))
+    w_int = frame_length - tau_max  # integration window
+
+    # hop-centered frames with zero padding
+    pad = frame_length // 2
+    y = jnp.pad(wav, (pad, pad + hop_length))
+    idx = jnp.arange(frame_length)[None, :] + hop_length * jnp.arange(n_frames)[:, None]
+    frames = y[idx]                                            # (F, W)
+
+    # cross-correlation c[tau] = sum_j x[j] x[j+tau] for j < w_int, via FFT
+    n_fft = int(2 ** np.ceil(np.log2(frame_length * 2)))
+    head = frames * (jnp.arange(frame_length) < w_int)[None, :]
+    F_all = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+    F_head = jnp.fft.rfft(head, n=n_fft, axis=-1)
+    corr = jnp.fft.irfft(jnp.conj(F_head) * F_all, n=n_fft, axis=-1)[:, :tau_max + 1]
+
+    # sliding power p[tau] = sum_{j=tau}^{tau+w_int-1} x[j]^2
+    csum = jnp.cumsum(jnp.square(frames), axis=-1)
+    csum = jnp.pad(csum, ((0, 0), (1, 0)))
+    taus = jnp.arange(tau_max + 1)
+    p = csum[:, taus + w_int] - csum[:, taus]                  # (F, tau_max+1)
+
+    d = p[:, :1] + p - 2.0 * corr                              # YIN difference fn
+    d = jnp.maximum(d, 0.0)
+
+    # cumulative-mean-normalized difference
+    cum = jnp.cumsum(d[:, 1:], axis=-1)
+    cmnd = d[:, 1:] * taus[1:][None, :] / jnp.maximum(cum, 1e-12)
+    cmnd = jnp.pad(cmnd, ((0, 0), (1, 0)), constant_values=1.0)  # d'(0) = 1
+
+    # restrict search band
+    band = (taus >= tau_min) & (taus <= tau_max)
+    cmnd_band = jnp.where(band[None, :], cmnd, jnp.inf)
+    tau_star = jnp.argmin(cmnd_band, axis=-1)                  # (F,)
+    min_cmnd = jnp.take_along_axis(cmnd_band, tau_star[:, None], axis=-1)[:, 0]
+
+    # parabolic interpolation around the minimum
+    t0 = jnp.clip(tau_star, 1, tau_max - 1)
+    dm = jnp.take_along_axis(cmnd, (t0 - 1)[:, None], axis=-1)[:, 0]
+    d0 = jnp.take_along_axis(cmnd, t0[:, None], axis=-1)[:, 0]
+    dp = jnp.take_along_axis(cmnd, (t0 + 1)[:, None], axis=-1)[:, 0]
+    denom = dm - 2.0 * d0 + dp
+    safe_denom = jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
+    shift = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (dm - dp) / safe_denom, 0.0)
+    tau_refined = t0.astype(jnp.float32) + jnp.clip(shift, -1.0, 1.0)
+
+    f0 = sampling_rate / jnp.maximum(tau_refined, 1.0)
+    voiced = (min_cmnd < threshold) & (f0 >= f0_floor) & (f0 <= f0_ceil)
+    # energy gate: silent frames are unvoiced
+    frame_rms = jnp.sqrt(jnp.mean(jnp.square(frames), axis=-1) + 1e-12)
+    voiced = voiced & (frame_rms > 1e-4)
+    return jnp.where(voiced, f0, 0.0)
+
+
+def extract_pitch_np(wav: np.ndarray, sampling_rate: int, hop_length: int,
+                     **kwargs) -> np.ndarray:
+    """Host convenience wrapper returning a NumPy array."""
+    return np.asarray(yin_f0(jnp.asarray(wav), sampling_rate, hop_length, **kwargs))
