@@ -1,0 +1,69 @@
+"""Stage-5 inference CLI: text → mel → Griffin-Lim → wav.
+
+Flag surface matches the reference predict_tts.py; synthesis and waveform
+reconstruction run on device.
+"""
+from argparse import ArgumentParser
+from pathlib import Path
+
+import numpy as np
+
+from transformertts_tpu.models.factory import tts_ljspeech
+from transformertts_tpu.audio import Audio
+from transformertts_tpu.models import ForwardTransformer
+
+if __name__ == '__main__':
+    parser = ArgumentParser()
+    parser.add_argument('--path', '-p', dest='path', default=None, type=str)
+    parser.add_argument('--step', dest='step', default='95000', type=str)
+    parser.add_argument('--text', '-t', dest='text', default=None, type=str)
+    parser.add_argument('--file', '-f', dest='file', default=None, type=str)
+    parser.add_argument('--outdir', '-o', dest='outdir', default=None, type=str)
+    parser.add_argument('--store_mel', '-m', dest='store_mel', action='store_true')
+    parser.add_argument('--verbose', '-v', dest='verbose', action='store_true')
+    parser.add_argument('--single', '-s', dest='single', action='store_true')
+    args = parser.parse_args()
+
+    if args.file is not None:
+        with open(args.file, 'r') as file:
+            text = file.readlines()
+        fname = Path(args.file).stem
+    elif args.text is not None:
+        text = [args.text]
+        fname = 'custom_text'
+    else:
+        print('Specify either an input text (-t "some text") or a text input file (-f /path/to/file.txt)')
+        raise SystemExit(1)
+
+    outdir = Path(args.outdir) if args.outdir is not None else Path('.')
+    if args.path is not None:
+        print(f'Loading model from {args.path}')
+        model = ForwardTransformer.load_model(args.path)
+    else:
+        model = tts_ljspeech(args.step)
+    file_name = (f"{fname}_{model.config.get('data_name', 'custom')}_"
+                 f"{model.config.get('git_hash', 'local')}_{model.config.get('step', 0)}")
+    outdir = outdir / 'outputs' / f'{fname}'
+    outdir.mkdir(exist_ok=True, parents=True)
+    output_path = (outdir / file_name).with_suffix('.wav')
+    audio = Audio.from_config(model.config)
+    print(f'Output wav under {output_path.parent}')
+    wavs = []
+    for i, text_line in enumerate(text):
+        if not text_line.strip():
+            continue
+        phons = model.text_pipeline.phonemizer(text_line)
+        tokens = model.text_pipeline.tokenizer(phons)
+        if args.verbose:
+            print(f'Predicting {text_line}')
+            print(f'Phonemes: "{phons}"')
+            print(f'Tokens: "{tokens}"')
+        out = model.predict(tokens, encode=False)
+        mel = out['mel'].T
+        wav = audio.reconstruct_waveform(mel)
+        wavs.append(wav)
+        if args.store_mel:
+            np.save(str((outdir / (file_name + f'_{i}')).with_suffix('.mel')), out['mel'])
+        if args.single:
+            audio.save_wav(wav, (outdir / (file_name + f'_{i}')).with_suffix('.wav'))
+    audio.save_wav(np.concatenate(wavs), output_path)

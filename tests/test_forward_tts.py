@@ -1,0 +1,102 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transformertts_tpu.models.forward_tts import ForwardTransformer
+
+
+@pytest.fixture(scope='module')
+def tiny_model():
+    model = ForwardTransformer(
+        encoder_model_dimension=32,
+        decoder_model_dimension=32,
+        dropout_rate=0.1,
+        decoder_num_heads=[2, 2],
+        encoder_num_heads=[2, 2],
+        encoder_max_position_encoding=200,
+        decoder_max_position_encoding=600,
+        encoder_dense_blocks=0,
+        decoder_dense_blocks=0,
+        duration_conv_filters=[16, 16],
+        pitch_conv_filters=[16, 16],
+        duration_kernel_size=3,
+        pitch_kernel_size=3,
+        predictors_dropout=0.1,
+        mel_channels=20,
+        phoneme_language='en-us',
+        with_stress=True,
+        model_breathing=False,
+        transposed_attn_convs=True,
+        encoder_attention_conv_filters=[64, 32],
+        decoder_attention_conv_filters=[64, 32],
+        encoder_attention_conv_kernel=3,
+        decoder_attention_conv_kernel=3,
+        encoder_feed_forward_dimension=None,
+        decoder_feed_forward_dimension=None,
+    )
+    model.init_params(jax.random.PRNGKey(0))
+    return model
+
+
+def test_training_forward(tiny_model):
+    m = tiny_model
+    tokens = jnp.array([[5, 8, 9, 3, 0, 0], [5, 8, 9, 3, 2, 7]], jnp.int32)
+    tgt_dur = jnp.ones((2, 6, 1), jnp.float32) * 2
+    tgt_pitch = jnp.ones((2, 6, 1), jnp.float32)
+    out = m.apply(m.params, tokens, max_frames=16,
+                  target_durations=tgt_dur, target_pitch=tgt_pitch,
+                  rng=jax.random.PRNGKey(1), deterministic=False)
+    assert out['mel'].shape == (2, 16, 20)
+    assert out['duration'].shape == (2, 6, 1)
+    assert out['pitch'].shape == (2, 6, 1)
+    # padded tokens produce no frames: sample 0 has 4 real tokens * 2 = 8 frames
+    valid0 = 1.0 - np.asarray(out['expanded_mask'])[0, 0, 0]
+    assert valid0.sum() == 8
+    valid1 = 1.0 - np.asarray(out['expanded_mask'])[1, 0, 0]
+    assert valid1.sum() == 12
+
+
+def test_apply_is_jittable(tiny_model):
+    m = tiny_model
+    fn = jax.jit(lambda p, t, d, pi: m.apply(
+        p, t, max_frames=16, target_durations=d, target_pitch=pi)['mel'])
+    tokens = jnp.ones((2, 6), jnp.int32)
+    mel = fn(m.params, tokens, jnp.ones((2, 6, 1)) * 2, jnp.ones((2, 6, 1)))
+    assert mel.shape == (2, 16, 20)
+
+
+def test_predict_from_text(tiny_model):
+    out = tiny_model.predict('hello world', encode=True)
+    assert out['mel'].ndim == 2
+    assert out['mel'].shape[1] == 20
+
+
+def test_predict_speed_regulator(tiny_model):
+    # use explicit min duration so predicted durations are nonzero at random init
+    slow = tiny_model.predict('test sentence', speed_regulator=0.5,
+                              phoneme_min_duration={'t': 4.0})
+    fast = tiny_model.predict('test sentence', speed_regulator=2.0,
+                              phoneme_min_duration={'t': 4.0})
+    assert slow['mel'].shape[0] >= fast['mel'].shape[0]
+
+
+def test_predict_max_duration_mask(tiny_model):
+    # bypass G2P: tokenize the IPA string 'aaaa' directly
+    tokens = tiny_model.text_pipeline.tokenizer('aaaa')
+    out = tiny_model.predict(tokens, encode=False,
+                             phoneme_min_duration={'a': 3.0},
+                             phoneme_max_duration={'a': 3.0})
+    # every one of the 4 'a' phonemes is clamped to exactly 3 frames
+    assert out['mel'].shape[0] == 12
+
+
+def test_save_load_roundtrip(tiny_model, tmp_path):
+    d = tmp_path / 'model_dir'
+    tiny_model.save_model(d)
+    assert (d / 'config.yaml').exists()
+    assert (d / 'model_weights.npz').exists()
+    loaded = ForwardTransformer.load_model(d)
+    out1 = tiny_model.predict('same text', phoneme_min_duration={'s': 2.0})
+    out2 = loaded.predict('same text', phoneme_min_duration={'s': 2.0})
+    np.testing.assert_allclose(out1['mel'], out2['mel'], atol=1e-5)

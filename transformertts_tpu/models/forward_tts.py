@@ -1,0 +1,333 @@
+"""ForwardTransformer: non-autoregressive FastSpeech2/FastPitch-style TTS.
+
+Capability parity with the reference model (model/models.py:344-643):
+embedding → self-attention encoder → duration & pitch StatPredictors → pitch
+embedding added to encoder output → length-regulator expansion → self-attention
+decoder → Dense(mel). Inference supports ``speed_regulator`` and per-phoneme
+min/max duration clamps; checkpoints are self-describing directories
+(config.yaml + weights) rebuildable with zero external config.
+
+TPU-first re-design decisions (vs. the TF reference):
+- the model object holds only static configuration + parameter pytrees;
+  all compute is in pure jitted functions with **static shapes**. One compiled
+  executable per (token-bucket, frame-bucket) pair instead of tf.function
+  retracing.
+- the RaggedTensor ``Expand`` is replaced by the static-shape gather length
+  regulator (nn/length_regulator.py).
+- inference is two jitted phases: ``encode`` (tokens → durations/pitch/
+  features) then ``decode`` at a frame budget rounded up to a bucket —
+  so arbitrary sentences reuse a small set of compiled programs.
+"""
+import subprocess
+from functools import partial
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from transformertts_tpu.nn import core, blocks, masks
+from transformertts_tpu.nn.length_regulator import regulate_length
+from transformertts_tpu.text import TextToTokens
+from transformertts_tpu.utils.pytree import flatten_params, unflatten_params
+
+FRAME_BUCKET = 128  # decode frame budgets are rounded up to multiples of this
+
+
+class ForwardTransformer:
+
+    def __init__(self,
+                 encoder_model_dimension: int,
+                 decoder_model_dimension: int,
+                 dropout_rate: float,
+                 decoder_num_heads: list,
+                 encoder_num_heads: list,
+                 encoder_max_position_encoding: int,
+                 decoder_max_position_encoding: int,
+                 encoder_dense_blocks: int,
+                 decoder_dense_blocks: int,
+                 duration_conv_filters: list,
+                 pitch_conv_filters: list,
+                 duration_kernel_size: int,
+                 pitch_kernel_size: int,
+                 predictors_dropout: float,
+                 mel_channels: int,
+                 phoneme_language: str,
+                 with_stress: bool,
+                 model_breathing: bool,
+                 transposed_attn_convs: bool = True,
+                 encoder_attention_conv_filters: list = None,
+                 decoder_attention_conv_filters: list = None,
+                 encoder_attention_conv_kernel: int = None,
+                 decoder_attention_conv_kernel: int = None,
+                 encoder_feed_forward_dimension: int = None,
+                 decoder_feed_forward_dimension: int = None,
+                 compute_dtype: str = 'float32',
+                 debug: bool = False,
+                 **kwargs):
+        self.config = self._make_config(locals(), kwargs)
+        self.text_pipeline = TextToTokens.default(
+            phoneme_language, add_start_end=False, with_stress=with_stress,
+            model_breathing=model_breathing)
+        self.symbols = self.text_pipeline.tokenizer.alphabet
+        self.mel_channels = mel_channels
+        self.compute_dtype = jnp.bfloat16 if compute_dtype == 'bfloat16' else jnp.float32
+        self.step = 0
+        dim = encoder_model_dimension
+
+        self.encoder_prenet = core.Embedding(
+            self.text_pipeline.tokenizer.vocab_size, dim)
+        self.encoder = blocks.SelfAttentionBlocks(
+            model_dim=dim, feed_forward_dimension=encoder_feed_forward_dimension,
+            num_heads=encoder_num_heads,
+            maximum_position_encoding=encoder_max_position_encoding,
+            conv_filters=encoder_attention_conv_filters,
+            dropout_rate=dropout_rate, dense_blocks=encoder_dense_blocks,
+            kernel_size=encoder_attention_conv_kernel, conv_activation='relu',
+            name='Encoder')
+        self.dur_pred = blocks.StatPredictor(
+            dim, duration_conv_filters, duration_kernel_size,
+            conv_activation='relu', dense_activation='relu',
+            dropout_rate=predictors_dropout)
+        self.pitch_pred = blocks.StatPredictor(
+            dim, pitch_conv_filters, pitch_kernel_size,
+            conv_activation='relu', dense_activation='linear',
+            dropout_rate=predictors_dropout)
+        self.pitch_embed = core.Dense(1, dim, activation='relu')
+        self.decoder = blocks.SelfAttentionBlocks(
+            model_dim=decoder_model_dimension,
+            feed_forward_dimension=decoder_feed_forward_dimension,
+            num_heads=decoder_num_heads,
+            maximum_position_encoding=decoder_max_position_encoding,
+            conv_filters=decoder_attention_conv_filters,
+            dropout_rate=dropout_rate, dense_blocks=decoder_dense_blocks,
+            kernel_size=decoder_attention_conv_kernel, conv_activation='relu',
+            name='Decoder')
+        self.out = core.Dense(decoder_model_dimension, mel_channels)
+        self.params: Optional[dict] = None
+        self._jit_encode = None
+        self._jit_decode = None
+
+    # ------------------------------------------------------------------ init
+
+    def _make_config(self, locals_: dict, kwargs: dict) -> dict:
+        config = {}
+        keys = [k for k in locals_.keys()
+                if (k not in kwargs) and (k not in ('self', '__class__', 'kwargs'))]
+        for k in keys:
+            if isinstance(locals_[k], dict):
+                config.update(locals_[k])
+            else:
+                config[k] = locals_[k]
+        config.update(kwargs)
+        return config
+
+    def init_params(self, key) -> dict:
+        params = core.init_submodules(key, {
+            'encoder_prenet': self.encoder_prenet,
+            'encoder': self.encoder,
+            'dur_pred': self.dur_pred,
+            'pitch_pred': self.pitch_pred,
+            'pitch_embed': self.pitch_embed,
+            'decoder': self.decoder,
+            'out': self.out,
+        })
+        self.params = params
+        return params
+
+    # --------------------------------------------------------------- compute
+
+    def encode(self, params, tokens: jax.Array, rng=None, deterministic=True):
+        """tokens (B, N) → dict with encoder features, durations, pitch."""
+        r1, r2, r3, r4 = blocks._maybe_split(rng, 4)
+        enc_pad_mask = masks.encoder_padding_mask(tokens)
+        x = self.encoder_prenet.apply(params['encoder_prenet'], tokens)
+        x = x.astype(self.compute_dtype)
+        x, encoder_attention = self.encoder.apply(
+            params['encoder'], x, enc_pad_mask, r1, deterministic)
+        keep = 1.0 - jnp.squeeze(enc_pad_mask, axis=(1, 2))[:, :, None]
+        keep = keep.astype(x.dtype)
+        durations = self.dur_pred.apply(params['dur_pred'], x, keep, r2, deterministic)
+        pitch = self.pitch_pred.apply(params['pitch_pred'], x, keep, r3, deterministic)
+        return {'features': x, 'durations': durations, 'pitch': pitch,
+                'keep_mask': keep, 'encoder_attention': encoder_attention,
+                'rng': r4}
+
+    def decode(self, params, features: jax.Array, use_durations: jax.Array,
+               max_frames: int, rng=None, deterministic=True):
+        """Expand by durations and decode to mel. use_durations: (B, N)."""
+        mels, frame_valid = regulate_length(features, use_durations, max_frames)
+        expanded_mask = (1.0 - frame_valid)[:, None, None, :]
+        mels, decoder_attention = self.decoder.apply(
+            params['decoder'], mels, expanded_mask, rng, deterministic,
+            reduction_factor=1)
+        mels = self.out.apply(params['out'], mels)
+        mels = mels * frame_valid[:, :, None].astype(mels.dtype)
+        return {'mel': mels.astype(jnp.float32), 'expanded_mask': expanded_mask,
+                'decoder_attention': decoder_attention}
+
+    def apply(self, params, tokens: jax.Array, max_frames: int,
+              target_durations: Optional[jax.Array] = None,
+              target_pitch: Optional[jax.Array] = None,
+              durations_scalar: float = 1.0,
+              max_durations_mask: Optional[jax.Array] = None,
+              min_durations_mask: Optional[jax.Array] = None,
+              rng=None, deterministic=True) -> dict:
+        """Full forward pass (training & inference), static shapes.
+
+        target_durations/target_pitch: (B, N, 1) or None (use predictions).
+        Mirrors reference call semantics (model/models.py:518-550).
+        """
+        enc = self.encode(params, tokens, rng, deterministic)
+        x, durations, pitch = enc['features'], enc['durations'], enc['pitch']
+        if target_pitch is not None:
+            pitch_embed = self.pitch_embed.apply(
+                params['pitch_embed'], target_pitch.astype(x.dtype))
+        else:
+            pitch_embed = self.pitch_embed.apply(params['pitch_embed'], pitch)
+        x = x + pitch_embed
+        if target_durations is not None:
+            use_durations = target_durations
+        else:
+            use_durations = durations * durations_scalar
+        if max_durations_mask is not None:
+            use_durations = jnp.minimum(use_durations, max_durations_mask[:, :, None])
+        if min_durations_mask is not None:
+            use_durations = jnp.maximum(use_durations, min_durations_mask[:, :, None])
+        # padded phonemes must not emit frames
+        use_durations = use_durations[:, :, 0] * enc['keep_mask'][:, :, 0]
+        dec = self.decode(params, x, use_durations, max_frames,
+                          enc['rng'], deterministic)
+        return {'mel': dec['mel'],
+                'duration': durations.astype(jnp.float32),
+                'pitch': pitch.astype(jnp.float32),
+                'expanded_mask': dec['expanded_mask'],
+                'encoder_attention': enc['encoder_attention'],
+                'decoder_attention': dec['decoder_attention']}
+
+    # ------------------------------------------------------------- inference
+
+    def encode_text(self, text: str):
+        return self.text_pipeline(text)
+
+    def _encode_jit(self):
+        if self._jit_encode is None:
+            def fn(params, tokens):
+                enc = self.encode(params, tokens, deterministic=True)
+                return enc['features'], enc['durations'], enc['pitch'], enc['keep_mask']
+            self._jit_encode = jax.jit(fn)
+        return self._jit_encode
+
+    def _decode_jit(self):
+        if self._jit_decode is None:
+            def fn(params, features, pitch, durations, max_durations_mask,
+                   min_durations_mask, durations_scalar, keep, max_frames):
+                pitch_embed = self.pitch_embed.apply(params['pitch_embed'], pitch)
+                x = features + pitch_embed
+                use = durations * durations_scalar
+                use = jnp.minimum(use, max_durations_mask[:, :, None])
+                use = jnp.maximum(use, min_durations_mask[:, :, None])
+                use = use[:, :, 0] * keep[:, :, 0]
+                dec = self.decode(params, x, use, max_frames, deterministic=True)
+                return dec['mel']
+            self._jit_decode = jax.jit(fn, static_argnames=('max_frames',))
+        return self._jit_decode
+
+    def predict(self, inp, encode: bool = True, speed_regulator: float = 1.0,
+                phoneme_max_duration: dict = None, phoneme_min_duration: dict = None,
+                phoneme_durations=None, phoneme_pitch=None, max_frames: int = None
+                ) -> dict:
+        """Text (or token ids) → mel. Public API parity with the reference
+        (model/models.py:559-577); runs as two jitted device phases."""
+        assert self.params is not None, 'model has no parameters; init or load first'
+        if encode:
+            inp = self.encode_text(inp)
+        tokens = np.asarray(inp, np.int32)
+        if tokens.ndim < 2:
+            tokens = tokens[None, :]
+        duration_scalar = np.float32(1.0 / speed_regulator)
+        max_mask = self._make_max_duration_mask(tokens, phoneme_max_duration)
+        min_mask = self._make_min_duration_mask(tokens, phoneme_min_duration)
+
+        features, durations, pitch, keep = self._encode_jit()(
+            self.params, jnp.asarray(tokens))
+        if phoneme_pitch is not None:
+            pitch = jnp.asarray(phoneme_pitch, jnp.float32).reshape(pitch.shape)
+        if phoneme_durations is not None:
+            durations_used = np.asarray(phoneme_durations, np.float32).reshape(
+                np.asarray(durations).shape)
+            duration_scalar = np.float32(1.0)  # explicit durations bypass speed
+        else:
+            durations_used = np.asarray(durations)
+        # frame budget: host-side rounding to a bucket keeps the decode jit
+        # cache small while shapes stay static
+        clamped = np.minimum(durations_used[:, :, 0] * float(duration_scalar), max_mask)
+        clamped = np.maximum(clamped, min_mask)
+        clamped = clamped * np.asarray(keep)[:, :, 0]
+        total = int(np.round(clamped).sum(axis=1).max()) + 1
+        if max_frames is None:
+            max_frames = max(FRAME_BUCKET, int(np.ceil(total / FRAME_BUCKET)) * FRAME_BUCKET)
+        mel = self._decode_jit()(
+            self.params, features, pitch,
+            jnp.asarray(durations_used), jnp.asarray(max_mask), jnp.asarray(min_mask),
+            jnp.asarray(duration_scalar), keep, max_frames)
+        # trim padding frames
+        n_valid = int(np.round(clamped).sum(axis=1).max())
+        out = {'mel': np.asarray(mel)[0, :n_valid],
+               'duration': durations_used,
+               'pitch': np.asarray(pitch)}
+        return out
+
+    def _make_max_duration_mask(self, tokens: np.ndarray, phoneme_max_duration):
+        mask = np.full(tokens.shape, np.float32(1e9))
+        if phoneme_max_duration is not None:
+            for symbol, value in phoneme_max_duration.items():
+                phon_idx = self.text_pipeline.tokenizer(symbol)[0]
+                mask[tokens == phon_idx] = value
+        return mask.astype(np.float32)
+
+    def _make_min_duration_mask(self, tokens: np.ndarray, phoneme_min_duration):
+        mask = np.zeros(tokens.shape, np.float32)
+        if phoneme_min_duration is not None:
+            for symbol, value in phoneme_min_duration.items():
+                phon_idx = self.text_pipeline.tokenizer(symbol)[0]
+                mask[tokens == phon_idx] = value
+        return mask.astype(np.float32)
+
+    # ----------------------------------------------------------- persistence
+
+    def save_model(self, path):
+        """Self-describing checkpoint dir: config.yaml + model_weights.npz
+        (format parity with reference save_model, model/models.py:600-618)."""
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        config = dict(self.config)
+        config['alphabet'] = ''.join(self.symbols)
+        config['step'] = int(self.step)
+        try:
+            config['git_hash'] = subprocess.check_output(
+                ['git', 'describe', '--always']).strip().decode()
+        except Exception:
+            pass
+        with open(path / 'config.yaml', 'w') as f:
+            yaml.safe_dump(config, f, allow_unicode=True)
+        flat = flatten_params(self.params)
+        np.savez(path / 'model_weights.npz', **flat)
+
+    @classmethod
+    def load_model(cls, path: str) -> 'ForwardTransformer':
+        path = Path(path)
+        with open(path / 'config.yaml') as f:
+            config = yaml.safe_load(f)
+        model = cls.from_config(config)
+        with np.load(path / 'model_weights.npz') as data:
+            flat = {k: data[k] for k in data.files}
+        model.params = unflatten_params(flat)
+        model.step = int(config.get('step', 0))
+        return model
+
+    @classmethod
+    def from_config(cls, config: dict) -> 'ForwardTransformer':
+        return cls(**config)
