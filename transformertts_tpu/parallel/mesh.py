@@ -1,0 +1,90 @@
+"""Device mesh + sharding: the framework's distributed "communication backend".
+
+The reference has no distributed runtime at all (SURVEY.md §2c — no
+tf.distribute, no NCCL/MPI; single-device training loops in
+train_tts.py:100-157). On TPU the equivalent capability is expressed as
+sharding annotations over a `jax.sharding.Mesh`: jit partitions the step
+function SPMD-style and XLA inserts the all-reduces over ICI. This module
+centralizes every mesh/sharding decision so that models and training loops
+never mention devices explicitly.
+
+Design:
+- mesh axes ``('data', 'model')``. Gradients ride ICI via the all-reduce XLA
+  emits for the sharded batch axis; parameters and optimizer state are
+  replicated over 'data' and (optionally) sharded over 'model'.
+- At these model sizes (24M–40M params) data parallelism is the only
+  parallelism the workload needs; the 'model' axis exists so that larger
+  configs can shard the big matmuls (attention-conv filters of 1536) without
+  any retooling.
+- Batches are placed with ``jax.device_put`` + NamedSharding before the step,
+  so host→device transfer happens once per step per host.
+"""
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = 'data'
+MODEL_AXIS = 'model'
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    data: int = -1   # -1: all remaining devices
+    model: int = 1
+
+
+def make_mesh(config: Optional[MeshConfig] = None, devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh over the available devices."""
+    config = config or MeshConfig()
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    model = max(1, config.model)
+    data = config.data if config.data > 0 else n // model
+    if data * model != n:
+        raise ValueError(f'mesh {data}x{model} does not tile {n} devices')
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh, spec_tail: int = 0) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'; trailing axes replicated."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * spec_tail)))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a pytree of host arrays with batch-axis sharding."""
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)
+
+
+def shard_params(mesh: Mesh, params):
+    """Replicate a parameter/optimizer pytree across the mesh."""
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), params)
+
+
+def pad_batch_to_multiple(batch: dict, multiple: int) -> dict:
+    """Pad the batch axis so it divides the 'data' axis size.
+
+    Padding samples are all-zero, which every masked loss in
+    transformertts_tpu.utils.losses treats as fully padded — they contribute
+    zero to every loss term, so gradients are unchanged up to the 1/count
+    normalization (identical to how the reference averages over real frames).
+    """
+    def pad(x):
+        b = x.shape[0]
+        rem = (-b) % multiple
+        if rem == 0:
+            return x
+        pad_width = [(0, rem)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(x, pad_width)
+    return {k: pad(np.asarray(v)) for k, v in batch.items()}

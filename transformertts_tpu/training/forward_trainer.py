@@ -1,0 +1,122 @@
+"""Jitted, mesh-sharded training step for the ForwardTransformer.
+
+Capability parity with the reference train/val steps
+(model/models.py:464-516): teacher-forced forward with target durations and
+pitch, weighted masked-MAE losses [mel 1, duration 1, pitch 3], Adam update.
+
+TPU-first design:
+- one jitted SPMD step per (token-bucket, frame-bucket) shape; the LR schedule
+  is computed on device from ``state.step`` (no host assign per step);
+- the batch is sharded over the mesh 'data' axis and parameters are
+  replicated, so XLA emits the gradient all-reduce over ICI — the TPU
+  equivalent of DP-NCCL (SURVEY.md §2c);
+- dropout RNG is folded from a base key and the step counter, giving
+  reproducible multi-host-safe randomness.
+"""
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from transformertts_tpu.parallel import mesh as mesh_lib
+from transformertts_tpu.training.state import TrainState, init_state
+from transformertts_tpu.utils.losses import (masked_mean_absolute_error,
+                                             weighted_sum_losses)
+
+LOSS_WEIGHTS = (1.0, 1.0, 3.0)  # mel, duration, pitch (reference models.py:485)
+
+
+def forward_loss(model, params, batch: dict, rng, deterministic: bool):
+    """Teacher-forced forward + weighted masked MAE losses."""
+    tokens = batch['tokens']
+    mel_target = batch['mel']
+    dur_target = batch['durations'][..., None].astype(jnp.float32)
+    pitch_target = batch['pitch'][..., None].astype(jnp.float32)
+    max_frames = mel_target.shape[1]
+    out = model.apply(params, tokens, max_frames,
+                      target_durations=dur_target,
+                      target_pitch=pitch_target,
+                      rng=rng, deterministic=deterministic)
+    total, (l_mel, l_dur, l_pitch) = weighted_sum_losses(
+        (mel_target, dur_target, pitch_target),
+        (out['mel'], out['duration'], out['pitch']),
+        (masked_mean_absolute_error,) * 3,
+        LOSS_WEIGHTS)
+    losses = {'loss': total, 'mel': l_mel, 'duration': l_dur, 'pitch': l_pitch}
+    return total, (losses, out)
+
+
+class ForwardTrainer:
+    """Owns the optimizer, the mesh, and the compiled step functions."""
+
+    def __init__(self, model, tx: optax.GradientTransformation,
+                 mesh: Optional[Mesh] = None, base_rng_seed: int = 42,
+                 return_attention: bool = False):
+        self.model = model
+        self.tx = tx
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self.base_rng = jax.random.PRNGKey(base_rng_seed)
+        self.return_attention = return_attention
+        repl = NamedSharding(self.mesh, P())
+        data = NamedSharding(self.mesh, P(mesh_lib.DATA_AXIS))
+        self._train_step = jax.jit(
+            self._train_step_impl,
+            in_shardings=(repl, data),
+            donate_argnums=(0,))
+        self._val_step = jax.jit(
+            self._val_step_impl,
+            in_shardings=(repl, data))
+
+    # ------------------------------------------------------------------ state
+
+    def init_state(self, key=None, params=None, step: int = 0) -> TrainState:
+        if params is None:
+            params = self.model.init_params(key if key is not None
+                                            else jax.random.PRNGKey(0))
+        state = init_state(params, self.tx, step)
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, NamedSharding(self.mesh, P())), state)
+
+    # ------------------------------------------------------------------ steps
+
+    def _train_step_impl(self, state: TrainState, batch: dict):
+        rng = jax.random.fold_in(self.base_rng, state.step)
+        (_, (losses, out)), grads = jax.value_and_grad(
+            lambda p: forward_loss(self.model, p, batch, rng,
+                                   deterministic=False), has_aux=True)(
+            state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state)
+        aux = dict(losses)
+        aux['duration_pred'] = out['duration'][..., 0]
+        if self.return_attention:
+            aux['encoder_attention'] = out['encoder_attention']
+            aux['decoder_attention'] = out['decoder_attention']
+        return new_state, aux
+
+    def _val_step_impl(self, state: TrainState, batch: dict):
+        _, (losses, out) = forward_loss(self.model, state.params, batch,
+                                        None, deterministic=True)
+        aux = dict(losses)
+        aux['mel_pred'] = out['mel']
+        aux['duration_pred'] = out['duration'][..., 0]
+        aux['pitch_pred'] = out['pitch'][..., 0]
+        return aux
+
+    # ------------------------------------------------------------------ API
+
+    def shard_batch(self, batch: dict) -> dict:
+        batch = mesh_lib.pad_batch_to_multiple(
+            batch, self.mesh.shape[mesh_lib.DATA_AXIS])
+        return mesh_lib.shard_batch(self.mesh, batch)
+
+    def train_step(self, state: TrainState, batch: dict):
+        return self._train_step(state, self.shard_batch(batch))
+
+    def val_step(self, state: TrainState, batch: dict):
+        return self._val_step(state, self.shard_batch(batch))
