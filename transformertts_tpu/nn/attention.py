@@ -87,6 +87,23 @@ class MultiHeadAttention:
         out = core.dropout(out, self.dropout_rate, out_rng, deterministic)
         return out, weights
 
+    def project_kv(self, params: core.Params, kv_in: jax.Array):
+        """Precompute split-head K/V projections of a fixed memory (e.g. the
+        encoder output) for repeated cross-attention during AR decode."""
+        k = self._split_heads(self.wk.apply(params['wk'], kv_in))
+        v = self._split_heads(self.wv.apply(params['wv'], kv_in))
+        return k, v
+
+    def apply_kv(self, params: core.Params, q_in: jax.Array, k: jax.Array,
+                 v: jax.Array, mask: Optional[jax.Array]
+                 ) -> Tuple[jax.Array, jax.Array]:
+        """Attention with already-projected K/V (decode path, no dropout)."""
+        q = self._split_heads(self.wq.apply(params['wq'], q_in))
+        attn, weights = scaled_dot_product_attention(q, k, v, mask)
+        attn = self._merge_heads(attn)
+        out = self.wo.apply(params['wo'], jnp.concatenate([q_in, attn], axis=-1))
+        return out, weights
+
     def apply_cached(self, params: core.Params, q_in: jax.Array,
                      k_cache: jax.Array, v_cache: jax.Array,
                      new_kv_in: jax.Array, cache_index: jax.Array,

@@ -1,0 +1,156 @@
+"""Jitted, mesh-sharded training step for the Aligner.
+
+Capability parity with the reference GTA forward / train step
+(model/models.py:169-227): shifted teacher forcing, r-strided decoder input,
+masked-MAE mel loss + stop-token scaled crossentropy (stop_scaling=8), and
+diagonal attention-forcing penalties during early training.
+
+TPU-first: ``r`` and both diagonal-forcing flags are static jit arguments —
+changing them on schedule selects a different cached executable (the
+reference re-traces all tf.functions instead, models.py:229-245). The
+diagonal masks are computed with the vectorized batch_diagonal_mask (no host
+loop).
+"""
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from transformertts_tpu.parallel import mesh as mesh_lib
+from transformertts_tpu.training.state import TrainState, init_state
+from transformertts_tpu.utils.losses import (masked_mean_absolute_error,
+                                             new_scaled_crossentropy,
+                                             weighted_sum_losses)
+from transformertts_tpu.utils.metrics import batch_diagonal_mask
+
+LOSS_WEIGHTS = (1.0, 1.0)  # mel, stop (reference models.py:223)
+
+
+def aligner_loss(model, params, batch: dict, r: int, stop_loss,
+                 force_encoder_diagonal: bool, force_decoder_diagonal: bool,
+                 rng, deterministic: bool):
+    """Shift → stride → forward → weighted losses (+ diagonal penalties)."""
+    tokens = batch['tokens']
+    mel = batch['mel']                       # (B, T, C) with start/end frames
+    stop_probs = batch['stop_probs']         # (B, T) int {0 pad, 1 cont, 2 stop}
+    tar_inp = mel[:, :-1]
+    tar_real = mel[:, 1:]
+    tar_stop = stop_probs[:, 1:]
+    mel_len = tar_inp.shape[1]
+    strided = tar_inp[:, ::r]
+    out = model.apply(params, tokens, strided, r, rng, deterministic)
+    total, (l_mel, l_stop) = weighted_sum_losses(
+        (tar_real, tar_stop),
+        (out['mel'][:, :mel_len], out['stop_prob'][:, :mel_len]),
+        (masked_mean_absolute_error, stop_loss),
+        LOSS_WEIGHTS)
+
+    phon_len = jnp.sum(1.0 - jnp.squeeze(out['text_mask'], axis=(1, 2)), axis=1)
+    d_loss = jnp.float32(0.0)
+    norm = 1.0
+    if force_decoder_diagonal:
+        dec_len = jnp.sum(1.0 - jnp.squeeze(out['mel_mask'], axis=(1, 2)), axis=1)
+        maps = list(out['decoder_attention'].values())
+        dmask = batch_diagonal_mask(maps[0].shape, dec_len, phon_len)
+        for att in maps:
+            d_loss += jnp.mean(jnp.sum(att * dmask, axis=(-2, -1))) / 10.0
+        norm += len(maps)
+    if force_encoder_diagonal:
+        maps = list(out['encoder_attention'].values())
+        dmask = batch_diagonal_mask(maps[0].shape, phon_len, phon_len)
+        for att in maps:
+            d_loss += jnp.mean(jnp.sum(att * dmask, axis=(-2, -1))) / 10.0
+        norm += len(maps)
+    d_loss = d_loss / norm
+    total = total + d_loss
+    losses = {'loss': total, 'mel': l_mel, 'stop_prob': l_stop,
+              'diag_loss': d_loss}
+    return total, (losses, out)
+
+
+class AlignerTrainer:
+    """Owns optimizer + mesh; compiles one step per (shape, r, flags)."""
+
+    def __init__(self, model, tx: optax.GradientTransformation,
+                 mesh: Optional[Mesh] = None, stop_scaling: float = 8.0,
+                 base_rng_seed: int = 42):
+        self.model = model
+        self.tx = tx
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self.base_rng = jax.random.PRNGKey(base_rng_seed)
+        self.stop_loss = new_scaled_crossentropy(index=2, scaling=stop_scaling)
+        repl = NamedSharding(self.mesh, P())
+        data = NamedSharding(self.mesh, P(mesh_lib.DATA_AXIS))
+        # static args are positional: pjit rejects kwargs when in_shardings
+        # is given, and (r, flags) select the compiled variant
+        self._train_step = jax.jit(
+            self._train_step_impl,
+            static_argnums=(2, 3, 4),
+            in_shardings=(repl, data),
+            donate_argnums=(0,))
+        self._val_step = jax.jit(
+            self._val_step_impl,
+            static_argnums=(2, 3, 4),
+            in_shardings=(repl, data))
+
+    def init_state(self, key=None, params=None, step: int = 0) -> TrainState:
+        if params is None:
+            params = self.model.init_params(key if key is not None
+                                            else jax.random.PRNGKey(0))
+        state = init_state(params, self.tx, step)
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, NamedSharding(self.mesh, P())), state)
+
+    def _train_step_impl(self, state: TrainState, batch: dict, r: int,
+                         force_enc: bool, force_dec: bool):
+        rng = jax.random.fold_in(self.base_rng, state.step)
+        (_, (losses, out)), grads = jax.value_and_grad(
+            lambda p: aligner_loss(self.model, p, batch, r, self.stop_loss,
+                                   force_enc, force_dec, rng,
+                                   deterministic=False), has_aux=True)(
+            state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state)
+        aux = dict(losses)
+        aux['decoder_attention'] = out['decoder_attention']
+        aux['encoder_attention'] = out['encoder_attention']
+        aux['text_mask'] = out['text_mask']
+        aux['mel_mask'] = out['mel_mask']
+        return new_state, aux
+
+    def _val_step_impl(self, state: TrainState, batch: dict, r: int,
+                       force_enc: bool, force_dec: bool):
+        _, (losses, out) = aligner_loss(
+            self.model, state.params, batch, r, self.stop_loss,
+            force_enc, force_dec, None, deterministic=True)
+        aux = dict(losses)
+        aux['mel_pred'] = out['mel']
+        aux['decoder_attention'] = out['decoder_attention']
+        aux['encoder_attention'] = out['encoder_attention']
+        aux['text_mask'] = out['text_mask']
+        aux['mel_mask'] = out['mel_mask']
+        return aux
+
+    def shard_batch(self, batch: dict) -> dict:
+        batch = mesh_lib.pad_batch_to_multiple(
+            batch, self.mesh.shape[mesh_lib.DATA_AXIS])
+        return mesh_lib.shard_batch(self.mesh, batch)
+
+    def train_step(self, state: TrainState, batch: dict, r: int = None,
+                   force_encoder_diagonal: bool = False,
+                   force_decoder_diagonal: bool = False):
+        r = r if r is not None else self.model.r
+        return self._train_step(state, self.shard_batch(batch), r,
+                                force_encoder_diagonal, force_decoder_diagonal)
+
+    def val_step(self, state: TrainState, batch: dict, r: int = None,
+                 force_encoder_diagonal: bool = False,
+                 force_decoder_diagonal: bool = False):
+        r = r if r is not None else self.model.r
+        return self._val_step(state, self.shard_batch(batch), r,
+                              force_encoder_diagonal, force_decoder_diagonal)
