@@ -111,6 +111,9 @@ class ForwardTrainer:
     # ------------------------------------------------------------------ API
 
     def shard_batch(self, batch: dict) -> dict:
+        # numeric fields only: bookkeeping entries like fname stay on host
+        batch = {k: v for k, v in batch.items()
+                 if not (hasattr(v, 'dtype') and v.dtype.kind in 'US')}
         batch = mesh_lib.pad_batch_to_multiple(
             batch, self.mesh.shape[mesh_lib.DATA_AXIS])
         return mesh_lib.shard_batch(self.mesh, batch)
