@@ -1,0 +1,275 @@
+"""Reference (TF/Keras) checkpoint → parameter-pytree conversion.
+
+The reference distributes self-describing model dirs with
+``model_weights.hdf5`` (model/models.py:600-638, model/factory.py:10-19).
+This module converts those weights into this framework's nested-dict pytrees.
+
+Two on-disk layouts are handled:
+- **Keras 3** ``.weights.h5``: nested groups by attribute path with ``vars/N``
+  leaves (what current TF exports; used for numeric-parity tests against the
+  reference implementation).
+- **legacy Keras 2 hdf5** (the published ``bdf06b9_ljspeech`` artifacts):
+  top-level groups per layer with ``weight_names`` attrs. Handled by
+  normalizing both layouts into one flat {path: array} dict before mapping.
+
+Weight-layout facts the mapping relies on (verified against reference
+model/layers.py): Dense = (kernel(in,out), bias); Conv1D = (kernel(w,in,out),
+bias); LayerNorm = (gamma, beta); MHA output projection consumes
+``concat([q, attention], -1)`` so its kernel is (2·d, d) (layers.py:148-149);
+``pos_encoding_scalar`` may be absent (untracked in Keras 3) and defaults
+to 1.
+"""
+from pathlib import Path
+from typing import Dict
+
+import numpy as np
+
+
+# --------------------------------------------------------------- h5 readers
+
+def _read_h5_flat(path) -> Dict[str, np.ndarray]:
+    """Flatten any hdf5 weight file into {joined/path: array}."""
+    import h5py
+    flat = {}
+
+    def walk(group, prefix=''):
+        for key in group:
+            item = group[key]
+            if isinstance(item, h5py.Group):
+                walk(item, f'{prefix}{key}/')
+            else:
+                flat[f'{prefix}{key}'] = np.asarray(item)
+
+    with h5py.File(path, 'r') as f:
+        # legacy layout: groups carry explicit weight_names attrs
+        if 'layer_names' in f.attrs:
+            for layer in f.attrs['layer_names']:
+                layer = layer.decode() if isinstance(layer, bytes) else layer
+                g = f[layer]
+                names = [n.decode() if isinstance(n, bytes) else n
+                         for n in g.attrs.get('weight_names', [])]
+                for n in names:
+                    flat[n.replace(':0', '')] = np.asarray(g[n])
+        else:
+            walk(f)
+    return flat
+
+
+def _sub(flat: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    return {k[len(prefix):]: v for k, v in flat.items() if k.startswith(prefix)}
+
+
+def _sorted_groups(flat: Dict[str, np.ndarray]):
+    """Immediate child group names ordered by Keras auto-name suffix
+    (``name`` < ``name_1`` < ``name_2`` …)."""
+    names = {k.split('/', 1)[0] for k in flat if '/' in k}
+
+    def order(n):
+        parts = n.rsplit('_', 1)
+        if len(parts) == 2 and parts[1].isdigit():
+            return (parts[0], int(parts[1]))
+        return (n, 0)
+
+    return sorted(names, key=order)
+
+
+# ---------------------------------------------------------- block assembly
+
+def _dense(flat, prefix):
+    p = {'kernel': flat[f'{prefix}vars/0']}
+    if f'{prefix}vars/1' in flat:
+        p['bias'] = flat[f'{prefix}vars/1']
+    return p
+
+
+def _ln(flat, prefix):
+    return {'gamma': flat[f'{prefix}vars/0'], 'beta': flat[f'{prefix}vars/1']}
+
+
+def _mha(flat, prefix):
+    return {'wq': _dense(flat, f'{prefix}wq/'),
+            'wk': _dense(flat, f'{prefix}wk/'),
+            'wv': _dense(flat, f'{prefix}wv/'),
+            'wo': _dense(flat, f'{prefix}dense/')}
+
+
+def _sarn(flat, prefix):
+    return {'mha': _mha(flat, f'{prefix}mha/'),
+            'ln': _ln(flat, f'{prefix}last_ln/')}
+
+
+def _ffn(flat, prefix):
+    return {'d1': _dense(flat, f'{prefix}d1/'),
+            'd2': _dense(flat, f'{prefix}d2/'),
+            'ln': _ln(flat, f'{prefix}last_ln/')}
+
+
+def _conv_stack(flat, prefix):
+    """Reference CNNResNorm/CNNDropout: ``convolutions`` list + ``last_conv``
+    (+ per-conv or single ``normalization``)."""
+    sub = _sub(flat, prefix)
+    convs = []
+    conv_sub = _sub(sub, 'convolutions/')
+    for g in _sorted_groups(conv_sub):
+        convs.append(_dense(conv_sub, f'{g}/'))
+    convs.append(_dense(sub, 'last_conv/'))
+    norm_sub = _sub(sub, 'normalization/')
+    if 'vars/0' in norm_sub:                 # single LN, no subgroup
+        lns = [_ln(sub, 'normalization/')]
+    elif norm_sub:
+        lns = [_ln(norm_sub, f'{g}/') for g in _sorted_groups(norm_sub)]
+    else:
+        lns = []
+    return convs, lns
+
+
+def _cnn_resnorm(flat, prefix):
+    convs, lns = _conv_stack(flat, prefix)
+    p = {f'conv_{i}': c for i, c in enumerate(convs)}
+    p['ln'] = lns[0]
+    return p
+
+
+def _cnn_dropout(flat, prefix):
+    convs, lns = _conv_stack(flat, prefix)
+    p = {f'conv_{i}': c for i, c in enumerate(convs)}
+    p.update({f'ln_{i}': l for i, l in enumerate(lns)})
+    return p
+
+
+def _self_attention_blocks(flat, prefix):
+    """Reference SelfAttentionBlocks → {ln, pos_encoding_scalar, dense_i,
+    conv_i} (layers.py:267-310)."""
+    sub = _sub(flat, prefix)
+    p = {'ln': _ln(sub, 'layernorm/'),
+         'pos_encoding_scalar': np.float32(
+             sub.get('pos_encoding_scalar', 1.0))}
+    sadb = _sub(sub, 'encoder_SADB/')
+    for i, g in enumerate(_sorted_groups(sadb)):
+        p[f'dense_{i}'] = {'sarn': _sarn(sadb, f'{g}/sarn/'),
+                           'ffn': _ffn(sadb, f'{g}/ffn/')}
+    sacb = _sub(sub, 'encoder_SACB/')
+    for i, g in enumerate(_sorted_groups(sacb)):
+        p[f'conv_{i}'] = {'sarn': _sarn(sacb, f'{g}/sarn/'),
+                          'conv': _cnn_resnorm(sacb, f'{g}/conv/')}
+    return p
+
+
+def _stat_predictor(flat, prefix):
+    return {'conv_blocks': _cnn_dropout(flat, f'{prefix}conv_blocks/'),
+            'linear': _dense(flat, f'{prefix}linear/')}
+
+
+# ------------------------------------------------------------- public API
+
+def convert_forward_weights(flat: Dict[str, np.ndarray]) -> dict:
+    """Keras-3-layout flat weights → ForwardTransformer param pytree."""
+    # loose layers group: pitch_embed (Dense 1→d), out (Dense d→mel),
+    # pitch_pred (StatPredictor) — Keras tracks unnamed attributes here
+    layers = _sub(flat, 'layers/')
+    dense_groups = [g for g in _sorted_groups(layers) if g.startswith('dense')]
+    stat_groups = [g for g in _sorted_groups(layers)
+                   if g.startswith('stat_predictor')]
+    if 'pitch_pred/' in ''.join(flat):
+        pitch_pred = _stat_predictor(flat, 'pitch_pred/')
+    else:
+        pitch_pred = _stat_predictor(layers, f'{stat_groups[0]}/')
+    if any(k.startswith('pitch_embed/') for k in flat):
+        pitch_embed = _dense(flat, 'pitch_embed/')
+        out = _dense(flat, 'out/')
+    else:
+        pitch_embed = _dense(layers, f'{dense_groups[0]}/')
+        out = _dense(layers, f'{dense_groups[1]}/')
+    return {
+        'encoder_prenet': {'table': flat['encoder_prenet/vars/0']},
+        'encoder': _self_attention_blocks(flat, 'encoder/'),
+        'decoder': _self_attention_blocks(flat, 'decoder/'),
+        'dur_pred': _stat_predictor(flat, 'dur_pred/'),
+        'pitch_pred': pitch_pred,
+        'pitch_embed': pitch_embed,
+        'out': out,
+    }
+
+
+def _cross_attention_blocks(flat, prefix):
+    """Reference CrossAttentionBlocks → {ln, pos_encoding_scalar, block_i}
+    (layers.py:381-417: ``CADB`` list + ``layernorm``)."""
+    sub = _sub(flat, prefix)
+    p = {'ln': _ln(sub, 'layernorm/'),
+         'pos_encoding_scalar': np.float32(
+             sub.get('pos_encoding_scalar', 1.0))}
+
+    def cadb_block(src, g):
+        # CrossAttentionResnorm's LN is named ``layernorm``
+        # (reference layers.py:313-328), unlike the self-attention resnorm
+        return {'sarn': _sarn(src, f'{g}/sarn/'),
+                'carn': {'mha': _mha(src, f'{g}/carn/mha/'),
+                         'ln': _ln(src, f'{g}/carn/layernorm/')},
+                'ffn': _ffn(src, f'{g}/ffn/')}
+
+    cadb = _sub(sub, 'CADB/')
+    i = 0
+    for g in _sorted_groups(cadb):
+        p[f'block_{i}'] = cadb_block(cadb, g)
+        i += 1
+    # the final block lives in its own attribute with no intermediate
+    # group (layers.py:399-403)
+    last = _sub(sub, 'last_CADB/')
+    if last:
+        p[f'block_{i}'] = {
+            'sarn': _sarn(last, 'sarn/'),
+            'carn': {'mha': _mha(last, 'carn/mha/'),
+                     'ln': _ln(last, 'carn/layernorm/')},
+            'ffn': _ffn(last, 'ffn/')}
+    return p
+
+
+def convert_aligner_weights(flat: Dict[str, np.ndarray]) -> dict:
+    layers = _sub(flat, 'layers/')
+    dense_groups = [g for g in _sorted_groups(layers) if g.startswith('dense')]
+    # final_proj_mel is the only loose Dense in the Aligner
+    if any(k.startswith('final_proj_mel/') for k in flat):
+        final_proj = _dense(flat, 'final_proj_mel/')
+    else:
+        final_proj = _dense(layers, f'{dense_groups[0]}/')
+    prenet_prefix = ('decoder_prenet/' if any(
+        k.startswith('decoder_prenet/') for k in flat) else 'DecoderPrenet/')
+    postnet_prefix = ('decoder_postnet/' if any(
+        k.startswith('decoder_postnet/') for k in flat) else 'Postnet/')
+    return {
+        'encoder_prenet': {'table': flat['encoder_prenet/vars/0']},
+        'encoder': _self_attention_blocks(flat, 'encoder/'),
+        'decoder': _cross_attention_blocks(flat, 'decoder/'),
+        'decoder_prenet': {'d1': _dense(flat, f'{prenet_prefix}d1/'),
+                           'd2': _dense(flat, f'{prenet_prefix}d2/')},
+        'final_proj_mel': final_proj,
+        'decoder_postnet': {
+            'stop_linear': _dense(flat, f'{postnet_prefix}stop_linear/'),
+            'mel_out': _dense(flat, f'{postnet_prefix}mel_out/')},
+    }
+
+
+def load_reference_weights_into(model, weights_path) -> None:
+    """Populate ``model.params`` from a reference hdf5 weights file."""
+    import jax.numpy as jnp
+    flat = _read_h5_flat(weights_path)
+    from transformertts_tpu.models.forward_tts import ForwardTransformer
+    if isinstance(model, ForwardTransformer):
+        params = convert_forward_weights(flat)
+    else:
+        params = convert_aligner_weights(flat)
+    model.params = __import__('jax').tree_util.tree_map(jnp.asarray, params)
+
+
+def load_reference_checkpoint(model_dir):
+    """Self-describing reference model dir (config.yaml + hdf5) → model."""
+    import yaml
+    model_dir = Path(model_dir)
+    with open(model_dir / 'config.yaml') as f:
+        config = yaml.safe_load(f)
+    from transformertts_tpu.models.forward_tts import ForwardTransformer
+    model = ForwardTransformer.from_config(config)
+    weights = list(model_dir.glob('*.h5')) + list(model_dir.glob('*.hdf5'))
+    load_reference_weights_into(model, weights[0])
+    model.step = int(config.get('step', 0))
+    return model
