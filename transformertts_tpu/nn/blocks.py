@@ -131,9 +131,11 @@ class SelfAttentionResNorm:
     def init(self, key) -> core.Params:
         return core.init_submodules(key, {'mha': self.mha, 'ln': self.ln})
 
-    def apply(self, params, x, mask, rng=None, deterministic=True):
+    def apply(self, params, x, mask, rng=None, deterministic=True,
+              use_flash=False):
         attn_out, weights = self.mha.apply(params['mha'], x, x, x, mask,
-                                           rng, deterministic)
+                                           rng, deterministic,
+                                           use_flash=use_flash)
         return self.ln.apply(params['ln'], attn_out + x), weights
 
 
@@ -146,9 +148,11 @@ class SelfAttentionDenseBlock:
     def init(self, key) -> core.Params:
         return core.init_submodules(key, {'sarn': self.sarn, 'ffn': self.ffn})
 
-    def apply(self, params, x, mask, rng=None, deterministic=True):
+    def apply(self, params, x, mask, rng=None, deterministic=True,
+              use_flash=False):
         r1, r2 = _maybe_split(rng, 2)
-        attn_out, weights = self.sarn.apply(params['sarn'], x, mask, r1, deterministic)
+        attn_out, weights = self.sarn.apply(params['sarn'], x, mask, r1,
+                                            deterministic, use_flash)
         keep = 1.0 - jnp.squeeze(mask, axis=(1, 2))[:, :, None]  # (B, T, 1)
         attn_out = attn_out * keep
         out = self.ffn.apply(params['ffn'], attn_out, r2, deterministic) * keep
@@ -166,9 +170,11 @@ class SelfAttentionConvBlock:
     def init(self, key) -> core.Params:
         return core.init_submodules(key, {'sarn': self.sarn, 'conv': self.conv})
 
-    def apply(self, params, x, mask, rng=None, deterministic=True):
+    def apply(self, params, x, mask, rng=None, deterministic=True,
+              use_flash=False):
         r1, r2 = _maybe_split(rng, 2)
-        attn_out, weights = self.sarn.apply(params['sarn'], x, mask, r1, deterministic)
+        attn_out, weights = self.sarn.apply(params['sarn'], x, mask, r1,
+                                            deterministic, use_flash)
         keep = 1.0 - jnp.squeeze(mask, axis=(1, 2))[:, :, None]
         attn_out = attn_out * keep
         out = self.conv.apply(params['conv'], attn_out, r2, deterministic) * keep
@@ -208,7 +214,8 @@ class SelfAttentionBlocks:
         return params
 
     def apply(self, params, x, mask, rng=None, deterministic=True,
-              reduction_factor: int = 1, pos_offset: int = 0):
+              reduction_factor: int = 1, pos_offset: int = 0,
+              use_flash: bool = False):
         seq_len = x.shape[1]
         y = self.ln.apply(params['ln'], x)
         pe = jax.lax.dynamic_slice_in_dim(
@@ -220,11 +227,13 @@ class SelfAttentionBlocks:
         y = core.dropout(y, self.dropout_rate, rngs[0], deterministic)
         attention_weights = {}
         for i, block in enumerate(self.dense_layers):
-            y, w = block.apply(params[f'dense_{i}'], y, mask, rngs[1 + i], deterministic)
+            y, w = block.apply(params[f'dense_{i}'], y, mask, rngs[1 + i],
+                               deterministic, use_flash)
             attention_weights[f'{self.name}_DenseBlock{i + 1}_SelfAttention'] = w
         off = 1 + len(self.dense_layers)
         for i, block in enumerate(self.conv_layers):
-            y, w = block.apply(params[f'conv_{i}'], y, mask, rngs[off + i], deterministic)
+            y, w = block.apply(params[f'conv_{i}'], y, mask, rngs[off + i],
+                               deterministic, use_flash)
             attention_weights[f'{self.name}_ConvBlock{i + 1}_SelfAttention'] = w
         return y, attention_weights
 
