@@ -70,10 +70,7 @@ def featurize_batch(audio: Audio, names, wavs, mel_dir: Path, pitch_dir: Path,
         c = np.pad(w, n_fft // 2, mode='reflect')
         centered[i, :len(c)] = c
         plain[i, :len(w)] = w
-    mel = audio._normalize(spectral.mel_spectrogram(
-        jnp.asarray(centered), audio.sampling_rate, n_fft, hop,
-        audio.win_length, audio.mel_channels, audio.f_min, audio.f_max,
-        center=False))
+    mel = audio.log_mel_batch_centered(jnp.asarray(centered))
     import jax
     pitch = jax.vmap(lambda w: yin_f0(w, audio.sampling_rate, hop))(
         jnp.asarray(plain))

@@ -144,6 +144,25 @@ class Audio:
             self.f_min, self.f_max)
         return self._normalize(mel)
 
+    def log_mel_batch_centered(self, wavs_centered: jnp.ndarray) -> jnp.ndarray:
+        """Normalized mel for center-pre-padded batched wavs (B, T+n_fft).
+
+        Dispatches to the fused Pallas frontend kernel when the normalizer is
+        the MelGAN log (whose clip+log is fused into the kernel); otherwise
+        runs the GEMM-native jnp path + normalizer.
+        """
+        if isinstance(self.normalizer, MelGAN):
+            from transformertts_tpu.ops.stft_pallas import fused_log_mel
+            return fused_log_mel(
+                wavs_centered, self.sampling_rate, self.n_fft,
+                self.hop_length, self.win_length, self.mel_channels,
+                self.f_min, self.f_max, clip_min=self.normalizer.clip_min)
+        mel = spectral.mel_spectrogram(
+            wavs_centered.astype(jnp.float32), self.sampling_rate, self.n_fft,
+            self.hop_length, self.win_length, self.mel_channels,
+            self.f_min, self.f_max, center=False)
+        return self._normalize(mel)
+
     def reconstruct_waveform(self, mel, n_iter: int = None) -> np.ndarray:
         """Normalized log-mel (n_frames, mel_channels) → waveform via
         pseudo-inverse mel + on-device Griffin-Lim."""
