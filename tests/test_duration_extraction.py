@@ -121,3 +121,25 @@ def test_weighted_head_sum_also_valid():
     attn /= attn.sum(-1, keepdims=True)
     durs, *_ = get_durations_from_alignment(attn, mels, phons, weighted=True)
     assert durs[0].sum() == 12
+
+
+def test_native_and_device_backends_agree():
+    from transformertts_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip('native lib unavailable')
+    rng = np.random.default_rng(5)
+    b, h, m_pad, n_pad = 2, 2, 28, 10
+    mels = np.zeros((b, m_pad, 4), np.float32)
+    phons = np.zeros((b, n_pad), np.int32)
+    attn = rng.random((b, h, m_pad, n_pad)).astype(np.float32)
+    attn /= attn.sum(-1, keepdims=True)
+    for i, (ml, pl_) in enumerate([(26, 9), (20, 7)]):
+        mels[i, :ml] = rng.standard_normal((ml, 4))
+        phons[i, :pl_] = rng.integers(1, 30, pl_)
+    d_dev, *_ = get_durations_from_alignment(attn, mels, phons,
+                                             backend='device')
+    d_nat, *_ = get_durations_from_alignment(attn, mels, phons,
+                                             backend='native')
+    for a, c in zip(d_dev, d_nat):
+        np.testing.assert_array_equal(a, c)

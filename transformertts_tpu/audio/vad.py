@@ -48,11 +48,24 @@ def trim_long_silences(wav: np.ndarray, sampling_rate: int, window_ms: int,
                        moving_average_width: int, max_silence_length: int,
                        energy_threshold_db: float = -48.0) -> np.ndarray:
     """Remove long internal silences; mirrors the reference smoothing chain
-    (moving-average of voice flags → round → dilation → sample mask)."""
+    (moving-average of voice flags → round → dilation → sample mask).
+
+    Uses the native C++ implementation (native/csrc/native_ops.cpp) when
+    built; byte-identical to the NumPy path below."""
     samples_per_window = (window_ms * sampling_rate) // 1000
     wav = wav[:len(wav) - (len(wav) % samples_per_window)]
     if len(wav) == 0:
         return wav
+    try:
+        from transformertts_tpu import native
+        if native.available():
+            mask = native.vad_long_silence_mask(
+                np.asarray(wav, np.float32), sampling_rate, window_ms,
+                moving_average_width, max_silence_length,
+                energy_threshold_db)
+            return wav[mask]
+    except Exception:
+        pass
     voice_flags = detect_voice_flags(wav, sampling_rate, window_ms,
                                      energy_threshold_db).astype(float)
     audio_mask = _moving_average(voice_flags, moving_average_width)

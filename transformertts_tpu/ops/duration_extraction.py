@@ -113,10 +113,16 @@ def duration_to_alignment_matrix(durations: np.ndarray) -> np.ndarray:
 
 
 def get_durations_from_alignment(batch_alignments, mels, phonemes,
-                                 weighted: bool = False
+                                 weighted: bool = False,
+                                 backend: str = 'auto'
                                  ) -> Tuple[List[np.ndarray], List[np.ndarray],
                                             np.ndarray, np.ndarray, np.ndarray]:
     """Score heads → pick/weight attention → batched DP → durations.
+
+    ``backend``: 'device' runs the scan-DP distance tables on the
+    accelerator (one vmapped call for the whole batch); 'native' runs the
+    threaded C++ DP (native/csrc/native_ops.cpp — the replacement for the
+    reference's serial scipy Dijkstra); 'auto' prefers native when built.
 
     Semantics follow the reference (utils/alignments.py:102-143): mel/phoneme
     lengths are derived from padding; the first mel frame (start vector
@@ -151,12 +157,25 @@ def get_durations_from_alignment(batch_alignments, mels, phonemes,
         costs[idx, :m, :n] = ref.max() - ref
         dims.append((m, n))
 
-    dists = np.asarray(dist_table_batch(jnp.asarray(costs)))
+    if backend == 'auto':
+        from transformertts_tpu import native
+        backend = 'native' if native.available() else 'device'
+    if backend == 'native':
+        from transformertts_tpu import native
+        ms = np.asarray([m for m, _ in dims], np.int32)
+        ns = np.asarray([n for _, n in dims], np.int32)
+        native_durs = native.duration_dp_batch(costs, ms, ns)
+        dists = None
+    else:
+        dists = np.asarray(dist_table_batch(jnp.asarray(costs)))
 
     durations, final_alignment = [], []
     for idx in range(b):
         m, n = dims[idx]
-        dur = _backtrack_durations(dists[idx], m, n)
+        if dists is None:
+            dur = native_durs[idx, :n].astype(np.int64)
+        else:
+            dur = _backtrack_durations(dists[idx], m, n)
         assert dur.sum() == m, f'{dur.sum()} vs {m}'
         best_head = int(np.argmax(attn_scores[idx]))
         best_attention = batch_alignments[idx][best_head, 1:1 + m, 1:1 + n]
