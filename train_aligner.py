@@ -64,12 +64,15 @@ def validate(trainer, state, val_dataset, summary_manager, step, r,
         step, tag='ValidationAttention')
     if r == 1:
         # duration extraction diagnostics on the last batch
+        n_real = int((batch['fname'] != '').sum())
+        if n_real == 0:
+            return total / norm
         attn = np.asarray(
             aux['decoder_attention']['Decoder_LastBlock_CrossAttention'])
-        attn = attn[:len(batch['mel'])]  # drop mesh-padding rows
+        attn = attn[:n_real]  # drop batch/mesh padding rows
         durations, final_align, *_ = get_durations_from_alignment(
-            attn, batch['mel'], batch['tokens'])
-        idx = int(np.argmax(batch['fname'] != ''))
+            attn, batch['mel'][:n_real], batch['tokens'][:n_real])
+        idx = 0
         summary_manager.add_image(
             'ValidationAlignment/extracted',
             attention_grid_png(final_align[idx][None, ...]), step)
@@ -154,10 +157,17 @@ def main(argv=None):
     force_enc_steps = int(config.get('force_encoder_diagonal_steps', 0))
     force_dec_steps = int(config.get('force_decoder_diagonal_steps', 0))
 
+    profile_start = int(config.get('profile_start_step', -1))
+    profile_n = int(config.get('profile_n_steps', 10))
+    import time as _time
     t = tqdm.trange(int(state.step), max_steps, initial=int(state.step),
                     total=max_steps, file=sys.stdout)
     for _ in t:
         step = int(state.step)
+        if step == profile_start:
+            import jax.profiler
+            jax.profiler.start_trace(str(cm.log_dir / 'profile'))
+        _t0 = _time.perf_counter()
         r = reduction_schedule(step, config['reduction_factor_schedule'])
         model.set_constants(reduction_factor=r)
         batch = train_data.next_batch()
@@ -166,6 +176,11 @@ def main(argv=None):
             force_encoder_diagonal=step < force_enc_steps,
             force_decoder_diagonal=step < force_dec_steps)
         step = int(state.step)
+        summary_manager.add_scalar('Meta/iter_time',
+                                   _time.perf_counter() - _t0, step)
+        if profile_start >= 0 and step == profile_start + profile_n:
+            import jax.profiler
+            jax.profiler.stop_trace()
         t.set_postfix(loss=float(aux['loss']), r=r)
 
         summary_manager.display_loss(

@@ -142,13 +142,26 @@ def main(argv=None):
     ckpt_freq = int(config.get('checkpoint_frequency', 1000))
 
     fname_durs = []
+    profile_start = int(config.get('profile_start_step', -1))
+    profile_n = int(config.get('profile_n_steps', 10))
+    import time as _time
     t = tqdm.trange(int(state.step), max_steps,
                     initial=int(state.step), total=max_steps,
                     file=sys.stdout)
     for _ in t:
+        step0 = int(state.step)
+        if step0 == profile_start:
+            import jax.profiler
+            jax.profiler.start_trace(str(cm.log_dir / 'profile'))
+        _t0 = _time.perf_counter()
         batch = train_data.next_batch()
         state, aux = trainer.train_step(state, batch)
         step = int(state.step)
+        summary_manager.add_scalar('Meta/iter_time',
+                                   _time.perf_counter() - _t0, step)
+        if profile_start >= 0 and step == profile_start + profile_n:
+            import jax.profiler
+            jax.profiler.stop_trace()
         t.set_postfix(loss=float(aux['loss']))
 
         summary_manager.display_loss(

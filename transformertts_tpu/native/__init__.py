@@ -55,6 +55,10 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
+        lib.duration_dp_range.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
         lib.vad_long_silence_mask.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
@@ -65,6 +69,9 @@ def _load() -> Optional[ctypes.CDLL]:
 
 
 def available() -> bool:
+    import os
+    if os.environ.get('TTS_TPU_DISABLE_NATIVE'):
+        return False
     return _load() is not None
 
 
@@ -87,16 +94,31 @@ def duration_dp(cost: np.ndarray) -> np.ndarray:
 
 
 def duration_dp_batch(costs: np.ndarray, ms: np.ndarray,
-                      ns: np.ndarray) -> np.ndarray:
-    """(B, m_pad, n_pad) padded costs + per-sample dims → (B, n_pad) durations."""
+                      ns: np.ndarray, max_workers: int = 8) -> np.ndarray:
+    """(B, m_pad, n_pad) padded costs + per-sample dims → (B, n_pad) durations.
+
+    Parallelized with Python threads over C++ range calls: ctypes releases
+    the GIL, so the DP scales across cores without native thread management.
+    """
     lib = _load()
     costs = np.ascontiguousarray(costs, np.float32)
     b, m_pad, n_pad = costs.shape
     ms = np.ascontiguousarray(ms, np.int32)
     ns = np.ascontiguousarray(ns, np.int32)
     out = np.zeros((b, n_pad), np.int32)
-    lib.duration_dp_batch(_fptr(costs), _iptr(ms), _iptr(ns), b, m_pad,
-                          n_pad, _iptr(out))
+    n_workers = max(1, min(max_workers, b))
+    if n_workers == 1:
+        lib.duration_dp_batch(_fptr(costs), _iptr(ms), _iptr(ns), b, m_pad,
+                              n_pad, _iptr(out))
+        return out
+    from concurrent.futures import ThreadPoolExecutor
+    bounds = np.linspace(0, b, n_workers + 1).astype(int)
+    def run(w):
+        lib.duration_dp_range(_fptr(costs), _iptr(ms), _iptr(ns),
+                              int(bounds[w]), int(bounds[w + 1]), m_pad,
+                              n_pad, _iptr(out))
+    with ThreadPoolExecutor(max_workers=n_workers) as ex:
+        list(ex.map(run, range(n_workers)))
     return out
 
 

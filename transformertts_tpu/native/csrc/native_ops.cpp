@@ -21,7 +21,6 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
-#include <thread>
 #include <vector>
 
 extern "C" {
@@ -63,31 +62,29 @@ void duration_dp(const float* cost, int m, int n, int32_t* durations) {
     for (int r = 0; r < m; ++r) durations[last_col[r]] += 1;
 }
 
-// Batched, threaded over samples. costs: (batch, m_pad, n_pad) row-major;
-// ms/ns give each sample's valid dims; durations_out: (batch, n_pad).
+// Batched over samples; sequential in C++ — the Python binding parallelizes
+// with a thread pool over ``duration_dp_range`` slices (ctypes releases the
+// GIL, so host threads scale without native thread management).
+// costs: (batch, m_pad, n_pad) row-major; ms/ns give valid dims.
+void duration_dp_range(const float* costs, const int32_t* ms,
+                       const int32_t* ns, int begin, int end, int m_pad,
+                       int n_pad, int32_t* durations_out) {
+    for (int b = begin; b < end; ++b) {
+        const float* cost = costs + (size_t)b * m_pad * n_pad;
+        int m = ms[b], n = ns[b];
+        // repack the valid (m, n) region contiguously
+        std::vector<float> packed((size_t)m * n);
+        for (int i = 0; i < m; ++i)
+            std::memcpy(packed.data() + (size_t)i * n,
+                        cost + (size_t)i * n_pad, sizeof(float) * n);
+        duration_dp(packed.data(), m, n, durations_out + (size_t)b * n_pad);
+    }
+}
+
 void duration_dp_batch(const float* costs, const int32_t* ms,
                        const int32_t* ns, int batch, int m_pad, int n_pad,
                        int32_t* durations_out) {
-    int n_threads = std::min<int>(batch,
-                                  std::max(1u, std::thread::hardware_concurrency()));
-    std::vector<std::thread> pool;
-    pool.reserve(n_threads);
-    for (int t = 0; t < n_threads; ++t) {
-        pool.emplace_back([=]() {
-            for (int b = t; b < batch; b += n_threads) {
-                const float* cost = costs + (size_t)b * m_pad * n_pad;
-                int m = ms[b], n = ns[b];
-                // repack the valid (m, n) region contiguously
-                std::vector<float> packed((size_t)m * n);
-                for (int i = 0; i < m; ++i)
-                    std::memcpy(packed.data() + (size_t)i * n,
-                                cost + (size_t)i * n_pad, sizeof(float) * n);
-                duration_dp(packed.data(), m, n,
-                            durations_out + (size_t)b * n_pad);
-            }
-        });
-    }
-    for (auto& th : pool) th.join();
+    duration_dp_range(costs, ms, ns, 0, batch, m_pad, n_pad, durations_out);
 }
 
 // Voice-activity sample mask (audio/vad.py::trim_long_silences semantics).

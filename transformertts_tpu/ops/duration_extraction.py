@@ -147,8 +147,10 @@ def get_durations_from_alignment(batch_alignments, mels, phonemes,
     costs = np.full((b, m_pad, n_pad), BIG, np.float32)
     dims = []
     for idx in range(b):
-        m = int(mel_len[idx]) - 1
-        n = int(phon_len[idx]) - 1
+        # all-padding samples (zero-filled remainder rows) degenerate to
+        # empty grids; guard them so they yield empty durations
+        m = max(int(mel_len[idx]) - 1, 0)
+        n = max(int(phon_len[idx]) - 1, 0)
         al = batch_alignments[idx][:, 1:1 + m, 1:1 + n]
         if weighted:
             ref = np.sum(al * attn_scores[idx][:, None, None], axis=0)
@@ -162,8 +164,8 @@ def get_durations_from_alignment(batch_alignments, mels, phonemes,
         backend = 'native' if native.available() else 'device'
     if backend == 'native':
         from transformertts_tpu import native
-        ms = np.asarray([m for m, _ in dims], np.int32)
-        ns = np.asarray([n for _, n in dims], np.int32)
+        ms = np.asarray([max(m, 1) for m, _ in dims], np.int32)
+        ns = np.asarray([max(n, 1) for _, n in dims], np.int32)
         native_durs = native.duration_dp_batch(costs, ms, ns)
         dists = None
     else:
@@ -172,6 +174,10 @@ def get_durations_from_alignment(batch_alignments, mels, phonemes,
     durations, final_alignment = [], []
     for idx in range(b):
         m, n = dims[idx]
+        if m == 0 or n == 0:
+            durations.append(np.zeros(n, np.int32))
+            final_alignment.append(np.zeros((n, m)))
+            continue
         if dists is None:
             dur = native_durs[idx, :n].astype(np.int64)
         else:
