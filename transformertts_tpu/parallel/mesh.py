@@ -72,6 +72,39 @@ def shard_params(mesh: Mesh, params):
         lambda x: jax.device_put(x, sharding), params)
 
 
+def tp_param_specs(params, mesh: Mesh):
+    """Tensor-parallel PartitionSpecs for a parameter pytree.
+
+    Shards the wide inner dimensions over the 'model' axis — the
+    attention-conv hidden filters (1536 at the published TTS scale) and the
+    FFN hidden — so their GEMMs split across chips and XLA inserts the
+    all-reduces. Everything else stays replicated. Heuristic is shape-based:
+    a kernel whose output dim is a multiple of (model_size · 128) gets its
+    output sharded, and the *following* layer's kernel (matching input dim)
+    gets its input sharded, which XLA recognises as a megatron-style
+    pair (no resharding between the two GEMMs).
+    """
+    model_size = mesh.shape[MODEL_AXIS]
+    if model_size <= 1:
+        return jax.tree_util.tree_map(lambda _: P(), params)
+
+    def leaf_spec(path, leaf):
+        names = [getattr(p, 'key', getattr(p, 'name', '')) for p in path]
+        leaf_name = names[-1] if names else ''
+        shape = getattr(leaf, 'shape', ())
+        wide = lambda d: d % (model_size * 128) == 0 and d >= 512
+        if leaf_name == 'kernel' and len(shape) >= 2:
+            if wide(shape[-1]) and not wide(shape[-2]):
+                return P(*([None] * (len(shape) - 1)), MODEL_AXIS)
+            if wide(shape[-2]) and not wide(shape[-1]):
+                return P(*([None] * (len(shape) - 2)), MODEL_AXIS, None)
+        if leaf_name == 'bias' and len(shape) == 1 and wide(shape[0]):
+            return P(MODEL_AXIS)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(leaf_spec, params)
+
+
 def pad_batch_to_multiple(batch: dict, multiple: int) -> dict:
     """Pad the batch axis so it divides the 'data' axis size.
 

@@ -82,19 +82,14 @@ class AlignerTrainer:
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
         self.base_rng = jax.random.PRNGKey(base_rng_seed)
         self.stop_loss = new_scaled_crossentropy(index=2, scaling=stop_scaling)
-        repl = NamedSharding(self.mesh, P())
-        data = NamedSharding(self.mesh, P(mesh_lib.DATA_AXIS))
-        # static args are positional: pjit rejects kwargs when in_shardings
-        # is given, and (r, flags) select the compiled variant
-        self._train_step = jax.jit(
-            self._train_step_impl,
-            static_argnums=(2, 3, 4),
-            in_shardings=(repl, data),
-            donate_argnums=(0,))
-        self._val_step = jax.jit(
-            self._val_step_impl,
-            static_argnums=(2, 3, 4),
-            in_shardings=(repl, data))
+        self._train_step = None
+        self._val_step = None
+
+    def state_shardings(self, state: TrainState):
+        specs = mesh_lib.tp_param_specs(state, self.mesh)
+        return jax.tree_util.tree_map(
+            lambda sp: NamedSharding(self.mesh, sp), specs,
+            is_leaf=lambda x: isinstance(x, P))
 
     def init_state(self, key=None, params=None, step: int = 0) -> TrainState:
         if params is None:
@@ -102,7 +97,22 @@ class AlignerTrainer:
                                             else jax.random.PRNGKey(0))
         state = init_state(params, self.tx, step)
         return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, NamedSharding(self.mesh, P())), state)
+            jax.device_put, state, self.state_shardings(state))
+
+    def _build_steps(self, state: TrainState):
+        state_sh = self.state_shardings(state)
+        data = NamedSharding(self.mesh, P(mesh_lib.DATA_AXIS))
+        # static args are positional: pjit rejects kwargs when in_shardings
+        # is given, and (r, flags) select the compiled variant
+        self._train_step = jax.jit(
+            self._train_step_impl,
+            static_argnums=(2, 3, 4),
+            in_shardings=(state_sh, data),
+            donate_argnums=(0,))
+        self._val_step = jax.jit(
+            self._val_step_impl,
+            static_argnums=(2, 3, 4),
+            in_shardings=(state_sh, data))
 
     def _train_step_impl(self, state: TrainState, batch: dict, r: int,
                          force_enc: bool, force_dec: bool):
@@ -148,6 +158,8 @@ class AlignerTrainer:
                    force_encoder_diagonal: bool = False,
                    force_decoder_diagonal: bool = False):
         r = r if r is not None else self.model.r
+        if self._train_step is None:
+            self._build_steps(state)
         return self._train_step(state, self.shard_batch(batch), r,
                                 force_encoder_diagonal, force_decoder_diagonal)
 
@@ -155,5 +167,7 @@ class AlignerTrainer:
                  force_encoder_diagonal: bool = False,
                  force_decoder_diagonal: bool = False):
         r = r if r is not None else self.model.r
+        if self._val_step is None:
+            self._build_steps(state)
         return self._val_step(state, self.shard_batch(batch), r,
                               force_encoder_diagonal, force_decoder_diagonal)

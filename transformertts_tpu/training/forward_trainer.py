@@ -60,17 +60,19 @@ class ForwardTrainer:
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
         self.base_rng = jax.random.PRNGKey(base_rng_seed)
         self.return_attention = return_attention
-        repl = NamedSharding(self.mesh, P())
-        data = NamedSharding(self.mesh, P(mesh_lib.DATA_AXIS))
-        self._train_step = jax.jit(
-            self._train_step_impl,
-            in_shardings=(repl, data),
-            donate_argnums=(0,))
-        self._val_step = jax.jit(
-            self._val_step_impl,
-            in_shardings=(repl, data))
+        self._train_step = None
+        self._val_step = None
 
     # ------------------------------------------------------------------ state
+
+    def state_shardings(self, state: TrainState):
+        """Per-leaf NamedShardings: TP specs on wide kernels when the mesh
+        has a model axis, replication otherwise. Optimizer moments mirror the
+        parameter structure, so the same rule tree applies to them."""
+        specs = mesh_lib.tp_param_specs(state, self.mesh)
+        return jax.tree_util.tree_map(
+            lambda sp: NamedSharding(self.mesh, sp), specs,
+            is_leaf=lambda x: isinstance(x, P))
 
     def init_state(self, key=None, params=None, step: int = 0) -> TrainState:
         if params is None:
@@ -78,7 +80,18 @@ class ForwardTrainer:
                                             else jax.random.PRNGKey(0))
         state = init_state(params, self.tx, step)
         return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, NamedSharding(self.mesh, P())), state)
+            jax.device_put, state, self.state_shardings(state))
+
+    def _build_steps(self, state: TrainState):
+        state_sh = self.state_shardings(state)
+        data = NamedSharding(self.mesh, P(mesh_lib.DATA_AXIS))
+        self._train_step = jax.jit(
+            self._train_step_impl,
+            in_shardings=(state_sh, data),
+            donate_argnums=(0,))
+        self._val_step = jax.jit(
+            self._val_step_impl,
+            in_shardings=(state_sh, data))
 
     # ------------------------------------------------------------------ steps
 
@@ -119,7 +132,11 @@ class ForwardTrainer:
         return mesh_lib.shard_batch(self.mesh, batch)
 
     def train_step(self, state: TrainState, batch: dict):
+        if self._train_step is None:
+            self._build_steps(state)
         return self._train_step(state, self.shard_batch(batch))
 
     def val_step(self, state: TrainState, batch: dict):
+        if self._val_step is None:
+            self._build_steps(state)
         return self._val_step(state, self.shard_batch(batch))
