@@ -22,6 +22,8 @@ if __name__ == '__main__':
     parser.add_argument('--store_mel', '-m', dest='store_mel', action='store_true')
     parser.add_argument('--verbose', '-v', dest='verbose', action='store_true')
     parser.add_argument('--single', '-s', dest='single', action='store_true')
+    parser.add_argument('--per_line', dest='per_line', action='store_true',
+                        help='disable batched synthesis (one device call per line)')
     args = parser.parse_args()
 
     if args.file is not None:
@@ -48,22 +50,29 @@ if __name__ == '__main__':
     output_path = (outdir / file_name).with_suffix('.wav')
     audio = Audio.from_config(model.config)
     print(f'Output wav under {output_path.parent}')
-    wavs = []
-    for i, text_line in enumerate(text):
-        if not text_line.strip():
-            continue
-        phons = model.text_pipeline.phonemizer(text_line)
-        tokens = model.text_pipeline.tokenizer(phons)
-        if args.verbose:
-            print(f'Predicting {text_line}')
-            print(f'Phonemes: "{phons}"')
-            print(f'Tokens: "{tokens}"')
-        out = model.predict(tokens, encode=False)
-        mel = out['mel'].T
-        wav = audio.reconstruct_waveform(mel)
-        wavs.append(wav)
-        if args.store_mel:
-            np.save(str((outdir / (file_name + f'_{i}')).with_suffix('.mel')), out['mel'])
-        if args.single:
-            audio.save_wav(wav, (outdir / (file_name + f'_{i}')).with_suffix('.wav'))
+    lines = [l for l in text if l.strip()]
+    if not args.per_line and not args.store_mel and len(lines) > 1:
+        # batched serving path: bucketed device batches + vmapped Griffin-Lim
+        from transformertts_tpu.models.synthesis import synthesize_lines
+        wavs = synthesize_lines(model, audio, lines)
+        for i, wav in enumerate(wavs):
+            if args.single:
+                audio.save_wav(wav, (outdir / (file_name + f'_{i}')).with_suffix('.wav'))
+    else:
+        wavs = []
+        for i, text_line in enumerate(lines):
+            phons = model.text_pipeline.phonemizer(text_line)
+            tokens = model.text_pipeline.tokenizer(phons)
+            if args.verbose:
+                print(f'Predicting {text_line}')
+                print(f'Phonemes: "{phons}"')
+                print(f'Tokens: "{tokens}"')
+            out = model.predict(tokens, encode=False)
+            mel = out['mel'].T
+            wav = audio.reconstruct_waveform(mel)
+            wavs.append(wav)
+            if args.store_mel:
+                np.save(str((outdir / (file_name + f'_{i}')).with_suffix('.mel')), out['mel'])
+            if args.single:
+                audio.save_wav(wav, (outdir / (file_name + f'_{i}')).with_suffix('.wav'))
     audio.save_wav(np.concatenate(wavs), output_path)

@@ -100,3 +100,23 @@ def test_save_load_roundtrip(tiny_model, tmp_path):
     out1 = tiny_model.predict('same text', phoneme_min_duration={'s': 2.0})
     out2 = loaded.predict('same text', phoneme_min_duration={'s': 2.0})
     np.testing.assert_allclose(out1['mel'], out2['mel'], atol=1e-5)
+
+
+def test_batched_synthesis_matches_per_line(tiny_model):
+    """Batched serving path produces the same mels/wav lengths per line."""
+    import numpy as np
+    from transformertts_tpu.audio import Audio
+    from transformertts_tpu.models.synthesis import synthesize_lines
+    model = tiny_model
+    audio = Audio(sampling_rate=22050, n_fft=512, mel_channels=model.mel_channels,
+                  hop_length=128, win_length=512, f_min=0, f_max=8000,
+                  normalizer='MelGAN', griffin_lim_iters=4)
+    lines = ['hello there', 'a much longer sentence with many words in it',
+             'short']
+    wavs = synthesize_lines(model, audio, lines, n_iter=4)
+    assert len(wavs) == 3
+    for line, wav in zip(lines, wavs):
+        out = model.predict(line)
+        expected = out['mel'].shape[0] * audio.hop_length
+        assert abs(len(wav) - expected) <= audio.hop_length * 2, \
+            (len(wav), expected)

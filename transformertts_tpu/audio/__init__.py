@@ -177,6 +177,19 @@ class Audio:
                                      self.win_length)
         return np.asarray(wav)
 
+    def reconstruct_waveform_batch(self, mels, n_iter: int = None) -> np.ndarray:
+        """Batched Griffin-Lim: (B, n_frames, mel_channels) normalized log-mel
+        → (B, T) waveforms, one vmapped device call."""
+        import jax
+        n_iter = n_iter or self.griffin_lim_iters
+        mels = jnp.asarray(mels, jnp.float32)
+        amp = self._denormalize(mels)
+        S = griffinlim.mel_to_linear(amp, self.sampling_rate, self.n_fft,
+                                     self.f_min, self.f_max)
+        gl = jax.vmap(lambda s: griffinlim.griffin_lim(
+            s, n_iter, self.n_fft, self.hop_length, self.win_length))
+        return np.asarray(gl(S))
+
     def extract_pitch(self, y) -> np.ndarray:
         """Frame-aligned F0 (same length as the mel spectrogram)."""
         return pitch.extract_pitch_np(np.asarray(y, np.float32),

@@ -306,6 +306,9 @@ class Aligner:
         tokens = np.asarray(inp, np.int32)
         if tokens.ndim < 2:
             tokens = tokens[None, :]
+        # pad tokens to a bucket so arbitrary sentences share executables
+        n_pad = max(32, -(-tokens.shape[1] // 32) * 32)
+        tokens = np.pad(tokens, ((0, 0), (0, n_pad - tokens.shape[1])))
         max_steps = int(max_length // self.r) + 1
         key = (max_steps, self.r, tokens.shape[1])
         if key not in self._jit_predict_cache:

@@ -251,6 +251,10 @@ class ForwardTransformer:
         tokens = np.asarray(inp, np.int32)
         if tokens.ndim < 2:
             tokens = tokens[None, :]
+        n_orig = tokens.shape[1]
+        # pad tokens to a bucket so arbitrary sentences share executables
+        n_pad = max(32, -(-n_orig // 32) * 32)
+        tokens = np.pad(tokens, ((0, 0), (0, n_pad - n_orig)))
         duration_scalar = np.float32(1.0 / speed_regulator)
         max_mask = self._make_max_duration_mask(tokens, phoneme_max_duration)
         min_mask = self._make_min_duration_mask(tokens, phoneme_min_duration)
@@ -258,10 +262,14 @@ class ForwardTransformer:
         features, durations, pitch, keep = self._encode_jit()(
             self.params, jnp.asarray(tokens))
         if phoneme_pitch is not None:
-            pitch = jnp.asarray(phoneme_pitch, jnp.float32).reshape(pitch.shape)
+            p = np.zeros((1, n_pad, 1), np.float32)
+            p[0, :n_orig, 0] = np.asarray(phoneme_pitch,
+                                          np.float32).reshape(-1)[:n_orig]
+            pitch = jnp.asarray(p)
         if phoneme_durations is not None:
-            durations_used = np.asarray(phoneme_durations, np.float32).reshape(
-                np.asarray(durations).shape)
+            durations_used = np.zeros((1, n_pad, 1), np.float32)
+            durations_used[0, :n_orig, 0] = np.asarray(
+                phoneme_durations, np.float32).reshape(-1)[:n_orig]
             duration_scalar = np.float32(1.0)  # explicit durations bypass speed
         else:
             durations_used = np.asarray(durations)
@@ -280,8 +288,8 @@ class ForwardTransformer:
         # trim padding frames
         n_valid = int(np.round(clamped).sum(axis=1).max())
         out = {'mel': np.asarray(mel)[0, :n_valid],
-               'duration': durations_used,
-               'pitch': np.asarray(pitch)}
+               'duration': np.asarray(durations_used)[:, :n_orig],
+               'pitch': np.asarray(pitch)[:, :n_orig]}
         return out
 
     def _make_max_duration_mask(self, tokens: np.ndarray, phoneme_max_duration):
