@@ -249,12 +249,32 @@ def istft(re: jax.Array, im: jax.Array, n_fft: int, hop_length: int,
     if win_length < n_fft:
         pad = (n_fft - win_length) // 2
         window = np.pad(window, (pad, n_fft - win_length - pad))
-    # squared-window normalization envelope (host precompute would need
-    # static n_frames anyway; computed on device, it fuses with the scatter)
-    idx = (jnp.arange(n_fft)[None, :] + hop_length * jnp.arange(n_frames)[:, None])
-    y = jnp.zeros((out_len,), frames.dtype).at[idx].add(frames)
-    wsq = jnp.zeros((out_len,), frames.dtype).at[idx].add(
-        jnp.broadcast_to(jnp.asarray(window ** 2, frames.dtype), (n_frames, n_fft)))
+    wsq_np = window ** 2
+    if n_fft % hop_length == 0:
+        # overlap-add without scatters: split each frame into n_fft/hop
+        # hop-sized strips; strip k, flattened over frames, lands at offset
+        # k·hop. K pad-and-add ops compile and run far faster than a scatter
+        # (the scatter formulation took minutes to compile via remote Mosaic).
+        k_strips = n_fft // hop_length
+        y = jnp.zeros((out_len,), frames.dtype)
+        for k in range(k_strips):
+            strip = frames[:, k * hop_length:(k + 1) * hop_length].reshape(-1)
+            y = y.at[k * hop_length:k * hop_length + strip.shape[0]].add(strip)
+        # squared-window envelope is periodic in the interior: precompute on
+        # host with the same strip decomposition
+        wsq_host = np.zeros(out_len)
+        for k in range(k_strips):
+            strip = np.tile(wsq_np[k * hop_length:(k + 1) * hop_length],
+                            n_frames)
+            wsq_host[k * hop_length:k * hop_length + strip.shape[0]] += strip
+        wsq = jnp.asarray(wsq_host, frames.dtype)
+    else:
+        idx = (jnp.arange(n_fft)[None, :]
+               + hop_length * jnp.arange(n_frames)[:, None])
+        y = jnp.zeros((out_len,), frames.dtype).at[idx].add(frames)
+        wsq = jnp.zeros((out_len,), frames.dtype).at[idx].add(
+            jnp.broadcast_to(jnp.asarray(wsq_np, frames.dtype),
+                             (n_frames, n_fft)))
     y = y / jnp.maximum(wsq, 1e-10)
     if center:
         y = y[n_fft // 2: out_len - n_fft // 2]
