@@ -120,3 +120,17 @@ def test_batched_synthesis_matches_per_line(tiny_model):
         expected = out['mel'].shape[0] * audio.hop_length
         assert abs(len(wav) - expected) <= audio.hop_length * 2, \
             (len(wav), expected)
+
+
+def test_predict_wav_single_call(tiny_model):
+    from transformertts_tpu.audio import Audio
+    audio = Audio(sampling_rate=22050, n_fft=512, mel_channels=20,
+                  hop_length=128, win_length=512, f_min=0, f_max=8000,
+                  normalizer='MelGAN', griffin_lim_iters=4)
+    wav, mel = tiny_model.predict_wav('hello there', audio, max_frames=128)
+    assert mel.ndim == 2 and mel.shape[1] == 20
+    assert len(wav) == mel.shape[0] * 128
+    # agrees with the two-phase path on the shared prefix
+    out = tiny_model.predict('hello there')
+    n = min(mel.shape[0], out['mel'].shape[0])
+    np.testing.assert_allclose(mel[:n], out['mel'][:n], atol=2e-4)

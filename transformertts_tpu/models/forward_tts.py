@@ -111,6 +111,7 @@ class ForwardTransformer:
         self.params: Optional[dict] = None
         self._jit_encode = None
         self._jit_decode = None
+        self._jit_predict_wav = {}
 
     # ------------------------------------------------------------------ init
 
@@ -238,6 +239,57 @@ class ForwardTransformer:
                 return dec['mel']
             self._jit_decode = jax.jit(fn, static_argnames=('max_frames',))
         return self._jit_decode
+
+    def predict_wav(self, inp, audio, encode: bool = True,
+                    speed_regulator: float = 1.0, max_frames: int = 384,
+                    n_iter: int = None):
+        """Latency-optimized text → waveform: encoder, duration expansion,
+        decoder AND Griffin-Lim fused into ONE jitted device call.
+
+        The two-phase ``predict`` pays a host round-trip to size the frame
+        budget; here decode always runs at the static ``max_frames`` budget
+        and the wav is trimmed on host — one device dispatch total, which
+        matters when each dispatch crosses a network tunnel.
+        Returns (wav, mel) trimmed to the predicted length.
+        """
+        assert self.params is not None
+        if encode:
+            inp = self.encode_text(inp)
+        tokens = np.asarray(inp, np.int32)
+        if tokens.ndim < 2:
+            tokens = tokens[None, :]
+        n_orig = tokens.shape[1]
+        n_pad = max(32, -(-n_orig // 32) * 32)
+        tokens = np.pad(tokens, ((0, 0), (0, n_pad - n_orig)))
+        n_iter = n_iter or audio.griffin_lim_iters
+        key = (max_frames, n_iter, audio.n_fft)
+        if key not in self._jit_predict_wav:
+            from transformertts_tpu.audio import griffinlim
+
+            def fn(params, tok, scalar):
+                enc = self.encode(params, tok, deterministic=True)
+                x = enc['features'] + self.pitch_embed.apply(
+                    params['pitch_embed'], enc['pitch'])
+                use = enc['durations'][:, :, 0] * scalar * enc['keep_mask'][:, :, 0]
+                dec = self.decode(params, x, use, max_frames,
+                                  deterministic=True)
+                mel = dec['mel'][0]
+                n_frames = jnp.sum(jnp.round(use)).astype(jnp.int32) + 1
+                amp = audio._denormalize(mel)
+                S = griffinlim.mel_to_linear(amp, audio.sampling_rate,
+                                             audio.n_fft, audio.f_min,
+                                             audio.f_max)
+                wav = griffinlim.griffin_lim(S, n_iter, audio.n_fft,
+                                             audio.hop_length,
+                                             audio.win_length)
+                return wav, mel, n_frames
+            self._jit_predict_wav[key] = jax.jit(fn)
+        wav, mel, n_frames = self._jit_predict_wav[key](
+            self.params, jnp.asarray(tokens),
+            jnp.float32(1.0 / speed_regulator))
+        n = int(n_frames)
+        return (np.asarray(wav)[: n * audio.hop_length],
+                np.asarray(mel)[:n])
 
     def predict(self, inp, encode: bool = True, speed_regulator: float = 1.0,
                 phoneme_max_duration: dict = None, phoneme_min_duration: dict = None,
