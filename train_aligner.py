@@ -26,7 +26,8 @@ from transformertts_tpu.utils.decorators import ignore_exception, time_it
 from transformertts_tpu.utils.display import attention_grid_png, mel_png
 from transformertts_tpu.utils.logging_utils import SummaryManager
 from transformertts_tpu.utils.metrics import attention_score
-from transformertts_tpu.utils.scheduling import reduction_schedule
+from transformertts_tpu.utils.scheduling import (piecewise_linear_schedule,
+                                                 reduction_schedule)
 from transformertts_tpu.utils.scripts_utils import (basic_train_parser,
                                                     print_devices)
 
@@ -45,6 +46,9 @@ def cut_with_durations(durations, wav, tokens_text, hop_length,
 @time_it
 def validate(trainer, state, val_dataset, summary_manager, step, r,
              audio: Audio, model):
+    # validation always runs at r=1 so duration-extraction diagnostics are
+    # available throughout training (reference train_aligner.py:44-45)
+    r = 1
     total, norm = 0.0, 0
     last = None
     for batch in val_dataset.all_batches():
@@ -62,33 +66,32 @@ def validate(trainer, state, val_dataset, summary_manager, step, r,
          'encoder_attention': {k: np.asarray(v)
                                for k, v in aux['encoder_attention'].items()}},
         step, tag='ValidationAttention')
-    if r == 1:
-        # duration extraction diagnostics on the last batch
-        n_real = int((batch['fname'] != '').sum())
-        if n_real == 0:
-            return total / norm
-        attn = np.asarray(
-            aux['decoder_attention']['Decoder_LastBlock_CrossAttention'])
-        attn = attn[:n_real]  # drop batch/mesh padding rows
-        durations, final_align, *_ = get_durations_from_alignment(
-            attn, batch['mel'][:n_real], batch['tokens'][:n_real])
-        idx = 0
-        summary_manager.add_image(
-            'ValidationAlignment/extracted',
-            attention_grid_png(final_align[idx][None, ...]), step)
-        # boundary-cut audio snippets of the first sample
-        mel = batch['mel'][idx]
-        n_frames = int((np.abs(mel).sum(-1) > 0).sum())
-        wav = audio.reconstruct_waveform(mel[1:n_frames - 1].T)
-        text = model.text_pipeline.tokenizer.decode(
-            batch['tokens'][idx][1:len(durations[idx]) + 1])
-        for i, (sym, snippet) in enumerate(cut_with_durations(
-                durations[idx], wav, text, audio.hop_length,
-                audio.sampling_rate)):
-            if i >= 4 or len(snippet) == 0:
-                break
-            summary_manager.add_audio(f'ValidationSnippets/{i}_{ord(sym[0])}',
-                                      snippet, audio.sampling_rate, step)
+    # duration extraction diagnostics on the last batch
+    n_real = int((batch['fname'] != '').sum())
+    if n_real == 0:
+        return total / norm
+    attn = np.asarray(
+        aux['decoder_attention']['Decoder_LastBlock_CrossAttention'])
+    attn = attn[:n_real]  # drop batch/mesh padding rows
+    durations, final_align, *_ = get_durations_from_alignment(
+        attn, batch['mel'][:n_real], batch['tokens'][:n_real])
+    idx = 0
+    summary_manager.add_image(
+        'ValidationAlignment/extracted',
+        attention_grid_png(final_align[idx][None, ...]), step)
+    # boundary-cut audio snippets of the first sample
+    mel = batch['mel'][idx]
+    n_frames = int((np.abs(mel).sum(-1) > 0).sum())
+    wav = audio.reconstruct_waveform(mel[1:n_frames - 1].T)
+    text = model.text_pipeline.tokenizer.decode(
+        batch['tokens'][idx][1:len(durations[idx]) + 1])
+    for i, (sym, snippet) in enumerate(cut_with_durations(
+            durations[idx], wav, text, audio.hop_length,
+            audio.sampling_rate)):
+        if i >= 4 or len(snippet) == 0:
+            break
+        summary_manager.add_audio(f'ValidationSnippets/{i}_{ord(sym[0])}',
+                                  snippet, audio.sampling_rate, step)
     return total / norm
 
 
@@ -187,6 +190,11 @@ def main(argv=None):
             {k: v for k, v in aux.items()
              if k in ('loss', 'mel', 'stop_prob', 'diag_loss')}, step)
         summary_manager.add_scalar('Meta/reduction_factor', r, step)
+        summary_manager.add_scalar(
+            'Meta/learning_rate',
+            float(piecewise_linear_schedule(step,
+                                            config['learning_rate_schedule'])),
+            step)
 
         if step % plot_freq == 0:
             mel_len = np.sum((np.abs(batch['mel']).sum(-1) > 0), axis=-1)

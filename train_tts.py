@@ -27,6 +27,7 @@ from transformertts_tpu.utils.config import TrainingConfigManager
 from transformertts_tpu.utils.decorators import ignore_exception, time_it
 from transformertts_tpu.utils.display import mel_png
 from transformertts_tpu.utils.logging_utils import SummaryManager
+from transformertts_tpu.utils.scheduling import piecewise_linear_schedule
 from transformertts_tpu.utils.scripts_utils import (basic_train_parser,
                                                     print_devices)
 
@@ -167,6 +168,11 @@ def main(argv=None):
         summary_manager.display_loss(
             {k: v for k, v in aux.items()
              if k in ('loss', 'mel', 'duration', 'pitch')}, step)
+        summary_manager.add_scalar(
+            'Meta/learning_rate',
+            float(piecewise_linear_schedule(step,
+                                            config['learning_rate_schedule'])),
+            step)
         n_real = int((batch['fname'] != '').sum())
         fname_durs.append((batch['tokens'][:n_real],
                            batch['durations'][:n_real],
