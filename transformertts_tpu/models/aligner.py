@@ -218,7 +218,8 @@ class Aligner:
             dropout_rate=self.decoder_prenet_dropout, deterministic=True)
         y = dec.ln.apply(params['decoder']['ln'], y)
         pe = jax.lax.dynamic_slice_in_dim(dec.pos_encoding, pos_idx * r, 1, axis=1)
-        y = y + params['decoder']['pos_encoding_scalar'] * pe.astype(y.dtype)
+        y = y + (params['decoder']['pos_encoding_scalar'].astype(y.dtype)
+                 * pe.astype(y.dtype))
         new_k, new_v = [], []
         last_cross_w = None
         for i, block in enumerate(dec.blocks):

@@ -33,7 +33,7 @@ def scaled_dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     """
     dk = q.shape[-1]
     logits = jnp.einsum('bhqd,bhkd->bhqk', q, k,
-                        precision=core.PRECISION,
+                        precision=core.matmul_precision(q.dtype),
                         preferred_element_type=jnp.float32)
     logits = logits / jnp.sqrt(jnp.float32(dk))
     if mask is not None:
@@ -41,7 +41,7 @@ def scaled_dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     weights = jax.nn.softmax(logits, axis=-1)
     weights_used = core.dropout(weights, dropout_rate, rng, deterministic)
     out = jnp.einsum('bhqk,bhkd->bhqd', weights_used.astype(v.dtype), v,
-                     precision=core.PRECISION,
+                     precision=core.matmul_precision(v.dtype),
                      preferred_element_type=jnp.float32).astype(v.dtype)
     return out, weights
 

@@ -116,6 +116,7 @@ class StatPredictor:
 
     def apply(self, params, x, mask, rng=None, deterministic=True):
         """mask: (B, T, 1), 1 = real data."""
+        mask = mask.astype(x.dtype)
         x = x * mask
         x = self.conv_blocks.apply(params['conv_blocks'], x, rng, deterministic)
         x = self.linear.apply(params['linear'], x)
@@ -153,7 +154,9 @@ class SelfAttentionDenseBlock:
         r1, r2 = _maybe_split(rng, 2)
         attn_out, weights = self.sarn.apply(params['sarn'], x, mask, r1,
                                             deterministic, use_flash)
-        keep = 1.0 - jnp.squeeze(mask, axis=(1, 2))[:, :, None]  # (B, T, 1)
+        # cast: the f32 mask must not promote the bf16 compute path
+        keep = (1.0 - jnp.squeeze(mask, axis=(1, 2))[:, :, None]).astype(
+            attn_out.dtype)                                       # (B, T, 1)
         attn_out = attn_out * keep
         out = self.ffn.apply(params['ffn'], attn_out, r2, deterministic) * keep
         return out, weights
@@ -175,7 +178,8 @@ class SelfAttentionConvBlock:
         r1, r2 = _maybe_split(rng, 2)
         attn_out, weights = self.sarn.apply(params['sarn'], x, mask, r1,
                                             deterministic, use_flash)
-        keep = 1.0 - jnp.squeeze(mask, axis=(1, 2))[:, :, None]
+        keep = (1.0 - jnp.squeeze(mask, axis=(1, 2))[:, :, None]).astype(
+            attn_out.dtype)
         attn_out = attn_out * keep
         out = self.conv.apply(params['conv'], attn_out, r2, deterministic) * keep
         return out, weights
@@ -222,7 +226,10 @@ class SelfAttentionBlocks:
             self.pos_encoding, pos_offset * reduction_factor,
             seq_len * reduction_factor, axis=1)
         pe = pe[:, ::reduction_factor, :]
-        y = y + params['pos_encoding_scalar'] * pe.astype(y.dtype)
+        # keep the compute dtype: the f32 scalar would otherwise promote
+        # the whole stack to float32 (3x slower matmuls on MXU)
+        y = y + (params['pos_encoding_scalar'].astype(y.dtype)
+                 * pe.astype(y.dtype))
         rngs = _maybe_split(rng, 1 + len(self.dense_layers) + len(self.conv_layers))
         y = core.dropout(y, self.dropout_rate, rngs[0], deterministic)
         attention_weights = {}
@@ -306,7 +313,10 @@ class CrossAttentionBlocks:
             self.pos_encoding, pos_offset * reduction_factor,
             seq_len * reduction_factor, axis=1)
         pe = pe[:, ::reduction_factor, :]
-        y = y + params['pos_encoding_scalar'] * pe.astype(y.dtype)
+        # keep the compute dtype: the f32 scalar would otherwise promote
+        # the whole stack to float32 (3x slower matmuls on MXU)
+        y = y + (params['pos_encoding_scalar'].astype(y.dtype)
+                 * pe.astype(y.dtype))
         rngs = _maybe_split(rng, 1 + len(self.blocks))
         y = core.dropout(y, self.dropout_rate, rngs[0], deterministic)
         attention_weights = {}

@@ -10,11 +10,14 @@ Initializers match the reference's Keras defaults (glorot-uniform kernels,
 zero biases, uniform(-0.05, 0.05) embeddings, LayerNorm eps 1e-6) so that a
 converted reference checkpoint drops into the same pytree slots.
 
-Matmuls accumulate in float32 via ``preferred_element_type`` regardless of the
-compute dtype, which keeps bfloat16 compute MXU-friendly without precision
-cliffs. ``Precision.HIGHEST`` is used throughout: speed comes from the dtype
-policy (cast to bfloat16 where wanted), not from JAX's implicit low-precision
-matmul default — so float32 paths stay exactly float32.
+Matmuls accumulate in float32 via ``preferred_element_type`` regardless of
+the compute dtype. Matmul precision follows the operand dtype: float32
+operands use ``Precision.HIGHEST`` (so float32 paths stay exactly float32 —
+JAX's implicit TPU default would silently downcast them to bfloat16), while
+bfloat16 operands use ``Precision.DEFAULT`` — a bf16×bf16 product is exactly
+representable in the float32 accumulator, so one MXU pass is already exact
+and HIGHEST would only force a ~3× slower multi-pass emulation (measured:
+423k → 1.24M mel frames/s on the bench forward pass).
 """
 from typing import Optional, Sequence
 
@@ -25,6 +28,14 @@ import numpy as np
 Params = dict
 
 PRECISION = jax.lax.Precision.HIGHEST
+
+
+def matmul_precision(dtype) -> jax.lax.Precision:
+    """HIGHEST for float32 operands (exactness); DEFAULT for bfloat16
+    (single-pass MXU, already exact into the f32 accumulator)."""
+    if dtype == jnp.bfloat16:
+        return jax.lax.Precision.DEFAULT
+    return jax.lax.Precision.HIGHEST
 
 
 def _glorot_uniform(key, shape, fan_in, fan_out, dtype=jnp.float32):
@@ -74,7 +85,8 @@ class Dense:
 
     def apply(self, params: Params, x: jax.Array) -> jax.Array:
         y = jnp.dot(x, params['kernel'].astype(x.dtype),
-                    precision=PRECISION, preferred_element_type=jnp.float32)
+                    precision=matmul_precision(x.dtype),
+                    preferred_element_type=jnp.float32)
         if self.use_bias:
             y = y + params['bias']
         return self.act(y).astype(x.dtype)
@@ -110,7 +122,7 @@ class Conv1D:
             window_strides=(1,),
             padding=self.padding,
             dimension_numbers=('NWC', 'WIO', 'NWC'),
-            precision=PRECISION,
+            precision=matmul_precision(x.dtype),
             preferred_element_type=jnp.float32)
         y = y + params['bias']
         return self.act(y).astype(x.dtype)
