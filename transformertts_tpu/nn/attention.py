@@ -33,16 +33,15 @@ def scaled_dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     """
     dk = q.shape[-1]
     logits = jnp.einsum('bhqd,bhkd->bhqk', q, k,
-                        precision=core.matmul_precision(q.dtype),
-                        preferred_element_type=jnp.float32)
-    logits = logits / jnp.sqrt(jnp.float32(dk))
+                        precision=core.matmul_precision(q.dtype))
+    # softmax in float32 regardless of compute dtype
+    logits = logits.astype(jnp.float32) / jnp.sqrt(jnp.float32(dk))
     if mask is not None:
         logits = logits + mask.astype(jnp.float32) * NEG_INF
     weights = jax.nn.softmax(logits, axis=-1)
     weights_used = core.dropout(weights, dropout_rate, rng, deterministic)
     out = jnp.einsum('bhqk,bhkd->bhqd', weights_used.astype(v.dtype), v,
-                     precision=core.matmul_precision(v.dtype),
-                     preferred_element_type=jnp.float32).astype(v.dtype)
+                     precision=core.matmul_precision(v.dtype))
     return out, weights
 
 

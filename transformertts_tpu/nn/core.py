@@ -84,11 +84,15 @@ class Dense:
         return p
 
     def apply(self, params: Params, x: jax.Array) -> jax.Array:
+        # bf16 path: no preferred_element_type — the MXU still accumulates in
+        # f32 internally, and a homogeneous dtype keeps the conv/dot vjp
+        # well-typed (f32 cotangents against bf16 kernels are rejected)
+        pet = jnp.float32 if x.dtype == jnp.float32 else None
         y = jnp.dot(x, params['kernel'].astype(x.dtype),
                     precision=matmul_precision(x.dtype),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=pet)
         if self.use_bias:
-            y = y + params['bias']
+            y = y + params['bias'].astype(y.dtype)
         return self.act(y).astype(x.dtype)
 
 
@@ -117,14 +121,15 @@ class Conv1D:
         }
 
     def apply(self, params: Params, x: jax.Array) -> jax.Array:
+        pet = jnp.float32 if x.dtype == jnp.float32 else None
         y = jax.lax.conv_general_dilated(
             x, params['kernel'].astype(x.dtype),
             window_strides=(1,),
             padding=self.padding,
             dimension_numbers=('NWC', 'WIO', 'NWC'),
             precision=matmul_precision(x.dtype),
-            preferred_element_type=jnp.float32)
-        y = y + params['bias']
+            preferred_element_type=pet)
+        y = y + params['bias'].astype(y.dtype)
         return self.act(y).astype(x.dtype)
 
 
