@@ -49,7 +49,6 @@ def build_model():
         encoder_attention_conv_kernel=3,
         decoder_attention_conv_kernel=3,
         compute_dtype='bfloat16',
-        use_flash_attention=True,
     )
     model.init_params(jax.random.PRNGKey(0))
     return model
