@@ -1,0 +1,71 @@
+"""Public predict() API knobs (reference README.md:169-177 contract):
+speed_regulator, phoneme_max_duration / phoneme_min_duration clamps,
+explicit phoneme_durations / phoneme_pitch overrides."""
+import jax
+import numpy as np
+import pytest
+
+from transformertts_tpu.models.forward_tts import ForwardTransformer
+
+
+@pytest.fixture(scope='module')
+def model():
+    m = ForwardTransformer(
+        encoder_model_dimension=32, decoder_model_dimension=32,
+        dropout_rate=0.1, decoder_num_heads=[2], encoder_num_heads=[2],
+        encoder_max_position_encoding=400, decoder_max_position_encoding=2000,
+        encoder_dense_blocks=1, decoder_dense_blocks=1,
+        duration_conv_filters=[16, 8], pitch_conv_filters=[16, 8],
+        duration_kernel_size=3, pitch_kernel_size=3, predictors_dropout=0.1,
+        mel_channels=12, phoneme_language='en-us', with_stress=False,
+        model_breathing=False, encoder_feed_forward_dimension=32,
+        decoder_feed_forward_dimension=32)
+    m.init_params(jax.random.PRNGKey(3))
+    return m
+
+
+def test_speed_regulator_scales_length(model):
+    slow = model.predict('hello out there', speed_regulator=0.5)
+    fast = model.predict('hello out there', speed_regulator=2.0)
+    # slower speech → more frames (durations divided by the regulator)
+    assert slow['mel'].shape[0] > fast['mel'].shape[0]
+
+
+def test_phoneme_max_duration_caps_frames(model):
+    base = model.predict('hello out there')
+    capped = model.predict('hello out there',
+                           phoneme_max_duration={'h': 1.0, 'e': 1.0,
+                                                 'l': 1.0, 'o': 1.0,
+                                                 ' ': 1.0, 'u': 1.0,
+                                                 't': 1.0, 'r': 1.0})
+    assert capped['mel'].shape[0] <= base['mel'].shape[0]
+
+
+def test_phoneme_min_duration_raises_frames(model):
+    tokens = model.text_pipeline.tokenizer('ha')  # known symbols, no G2P
+    base = model.predict(tokens, encode=False)
+    floored = model.predict(tokens, encode=False,
+                            phoneme_min_duration={'h': 20.0, 'a': 20.0})
+    assert floored['mel'].shape[0] >= base['mel'].shape[0]
+    assert floored['mel'].shape[0] >= 40  # at least the two floored phonemes
+
+
+def test_explicit_durations_control_output_length(model):
+    tokens = model.encode_text('abcd')
+    durs = np.full(len(tokens), 5.0, np.float32)
+    out = model.predict(tokens, encode=False, phoneme_durations=durs)
+    assert out['mel'].shape[0] == 5 * len(tokens)
+    # explicit durations ignore the speed regulator (reference semantics)
+    out2 = model.predict(tokens, encode=False, phoneme_durations=durs,
+                         speed_regulator=2.0)
+    assert out2['mel'].shape[0] == out['mel'].shape[0]
+
+
+def test_explicit_pitch_changes_output(model):
+    tokens = model.encode_text('abcd')
+    durs = np.full(len(tokens), 4.0, np.float32)
+    a = model.predict(tokens, encode=False, phoneme_durations=durs)
+    b = model.predict(tokens, encode=False, phoneme_durations=durs,
+                      phoneme_pitch=np.full(len(tokens), 3.0, np.float32))
+    assert a['mel'].shape == b['mel'].shape
+    assert not np.allclose(a['mel'], b['mel'])
