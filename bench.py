@@ -55,6 +55,8 @@ def build_model():
 
 
 def main():
+    from transformertts_tpu.utils.scripts_utils import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

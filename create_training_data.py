@@ -27,6 +27,7 @@ import tqdm
 from transformertts_tpu.audio import Audio
 from transformertts_tpu.data.datasets import DataReader
 from transformertts_tpu.utils.config import TrainingConfigManager
+from transformertts_tpu.utils.scripts_utils import enable_compilation_cache
 
 WAV_BUCKET = 256 * 256  # wav lengths padded to multiples of this (≈3 s)
 
@@ -109,6 +110,7 @@ def main(argv=None):
     parser.add_argument('--skip_phonemes', action='store_true')
     parser.add_argument('--workers', type=int, default=None)
     args = parser.parse_args(argv)
+    enable_compilation_cache()
 
     # model kind irrelevant for stage 1; tts section has no schedules needed
     cm = TrainingConfigManager(args.config, aligner=False)

@@ -22,7 +22,8 @@ from transformertts_tpu.ops.duration_extraction import get_durations_from_alignm
 from transformertts_tpu.utils.config import TrainingConfigManager
 from transformertts_tpu.utils.display import attention_grid_png
 from transformertts_tpu.utils.logging_utils import SummaryManager
-from transformertts_tpu.utils.scripts_utils import basic_train_parser
+from transformertts_tpu.utils.scripts_utils import (basic_train_parser,
+                                                    enable_compilation_cache)
 
 LAST_LAYER_KEY = 'Decoder_LastBlock_CrossAttention'
 
@@ -59,6 +60,7 @@ def main(argv=None):
     parser.add_argument('--skip_durations', action='store_true')
     parser.add_argument('--skip_char_pitch', action='store_true')
     args = parser.parse_args(argv)
+    enable_compilation_cache()
 
     cm = TrainingConfigManager(args.config, aligner=True)
     cm.create_remove_dirs(assume_yes=True)

@@ -9,6 +9,7 @@ from pathlib import Path
 import numpy as np
 
 from transformertts_tpu.models.factory import tts_ljspeech
+from transformertts_tpu.utils.scripts_utils import enable_compilation_cache
 from transformertts_tpu.audio import Audio
 from transformertts_tpu.models import ForwardTransformer
 
@@ -25,6 +26,7 @@ if __name__ == '__main__':
     parser.add_argument('--per_line', dest='per_line', action='store_true',
                         help='disable batched synthesis (one device call per line)')
     args = parser.parse_args()
+    enable_compilation_cache()
 
     if args.file is not None:
         with open(args.file, 'r') as file:

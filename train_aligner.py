@@ -29,6 +29,7 @@ from transformertts_tpu.utils.metrics import attention_score
 from transformertts_tpu.utils.scheduling import (piecewise_linear_schedule,
                                                  reduction_schedule)
 from transformertts_tpu.utils.scripts_utils import (basic_train_parser,
+                                                    enable_compilation_cache,
                                                     print_devices)
 
 
@@ -120,6 +121,7 @@ def predict_test_sentences(model, state, audio, summary_manager, config, step):
 def main(argv=None):
     parser = basic_train_parser()
     args = parser.parse_args(argv)
+    enable_compilation_cache()
     print_devices()
 
     cm = TrainingConfigManager(args.config, aligner=True)

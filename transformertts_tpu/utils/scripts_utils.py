@@ -20,3 +20,19 @@ def print_devices():
     devices = jax.devices()
     print(f'devices: {len(devices)} × {devices[0].device_kind}'
           if devices else 'no devices')
+
+
+def enable_compilation_cache(path: str = None):
+    """Persistent XLA compilation cache: first compiles of each executable
+    are reused across runs — critical when compiles go through a remote
+    service (minutes each)."""
+    import os
+    import jax
+    path = path or os.environ.get('JAX_COMPILATION_CACHE_DIR',
+                                  os.path.expanduser('~/.cache/tts_tpu_xla'))
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', path)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception as e:
+        print(f'compilation cache unavailable: {e}')
