@@ -250,8 +250,15 @@ def convert_aligner_weights(flat: Dict[str, np.ndarray]) -> dict:
 
 
 def load_reference_weights_into(model, weights_path) -> None:
-    """Populate ``model.params`` from a reference hdf5 weights file."""
+    """Populate ``model.params`` from a reference hdf5 weights file
+    (legacy Keras-2 layout or Keras-3 .weights.h5)."""
+    import h5py
     import jax.numpy as jnp
+    with h5py.File(weights_path, 'r') as f:
+        legacy = 'layer_names' in f.attrs
+    if legacy:
+        load_legacy_weights_into(model, weights_path)
+        return
     flat = _read_h5_flat(weights_path)
     from transformertts_tpu.models.forward_tts import ForwardTransformer
     if isinstance(model, ForwardTransformer):
@@ -273,3 +280,197 @@ def load_reference_checkpoint(model_dir):
     load_reference_weights_into(model, weights[0])
     model.step = int(config.get('step', 0))
     return model
+
+
+# ------------------------------------------------- legacy Keras-2 layout
+
+def read_legacy_h5(path):
+    """Legacy Keras-2 ``save_weights`` hdf5 → ordered per-layer weight lists.
+
+    Layout: top-level attrs ``layer_names`` (model.layers in creation order);
+    each group's attrs ``weight_names`` lists its variables in
+    trainable-then-non-trainable creation order. Returns
+    (groups, names) where groups[i] is the ordered list of arrays of layer i.
+    """
+    import h5py
+    groups, names = [], []
+    with h5py.File(path, 'r') as f:
+        layer_names = [n.decode() if isinstance(n, bytes) else n
+                       for n in f.attrs['layer_names']]
+        for layer in layer_names:
+            g = f[layer]
+            wnames = [n.decode() if isinstance(n, bytes) else n
+                      for n in g.attrs.get('weight_names', [])]
+            groups.append([np.asarray(g[n]) for n in wnames])
+            names.append(wnames)
+    return groups, names
+
+
+def _skel_dense(prefix):
+    return [f'{prefix}/kernel', f'{prefix}/bias']
+
+
+def _skel_ln(prefix):
+    return [f'{prefix}/gamma', f'{prefix}/beta']
+
+
+def _skel_mha(prefix):
+    # reference creation order: wq, wk, wv, (attention: no weights), dense=wo
+    # (model/layers.py:116-120)
+    return (_skel_dense(f'{prefix}/wq') + _skel_dense(f'{prefix}/wk')
+            + _skel_dense(f'{prefix}/wv') + _skel_dense(f'{prefix}/wo'))
+
+
+def _skel_sarn(prefix):
+    return _skel_mha(f'{prefix}/mha') + _skel_ln(f'{prefix}/ln')
+
+
+def _skel_ffn(prefix):
+    return (_skel_dense(f'{prefix}/d1') + _skel_dense(f'{prefix}/d2')
+            + _skel_ln(f'{prefix}/ln'))
+
+
+def _skel_conv_stack(prefix, n_convs, per_conv_ln):
+    paths = []
+    for i in range(n_convs):
+        paths += _skel_dense(f'{prefix}/conv_{i}')
+    if per_conv_ln:
+        for i in range(n_convs):
+            paths += _skel_ln(f'{prefix}/ln_{i}')
+    else:
+        paths += _skel_ln(f'{prefix}/ln')
+    return paths
+
+
+def _skel_self_attention_blocks(prefix, n_dense, n_conv, n_cnn_convs):
+    # creation order (model/layers.py:267-296): pos scalar, SADB list,
+    # SACB list, layernorm
+    paths = [f'{prefix}/pos_encoding_scalar']
+    for i in range(n_dense):
+        paths += _skel_sarn(f'{prefix}/dense_{i}/sarn')
+        paths += _skel_ffn(f'{prefix}/dense_{i}/ffn')
+    for i in range(n_conv):
+        paths += _skel_sarn(f'{prefix}/conv_{i}/sarn')
+        paths += _skel_conv_stack(f'{prefix}/conv_{i}/conv', n_cnn_convs,
+                                  per_conv_ln=False)
+    paths += _skel_ln(f'{prefix}/ln')
+    return paths
+
+
+def _skel_cross_attention_blocks(prefix, n_blocks):
+    # creation order (model/layers.py:381-403): pos scalar, CADB list,
+    # last_CADB, layernorm; each CADB: sarn, carn, ffn
+    paths = [f'{prefix}/pos_encoding_scalar']
+    for i in range(n_blocks):
+        paths += _skel_sarn(f'{prefix}/block_{i}/sarn')
+        paths += _skel_mha(f'{prefix}/block_{i}/carn/mha')
+        paths += _skel_ln(f'{prefix}/block_{i}/carn/ln')
+        paths += _skel_ffn(f'{prefix}/block_{i}/ffn')
+    paths += _skel_ln(f'{prefix}/ln')
+    return paths
+
+
+def _skel_stat_predictor(prefix, n_convs):
+    return (_skel_conv_stack(f'{prefix}/conv_blocks', n_convs,
+                             per_conv_ln=True)
+            + _skel_dense(f'{prefix}/linear'))
+
+
+def forward_legacy_skeleton(config: dict):
+    """Per-layer ordered pytree paths, following ForwardTransformer's layer
+    creation order (model/models.py:380-424): Embedding, Encoder, dur_pred,
+    expand, pitch_pred, pitch_embed, Decoder, out."""
+    n_enc_dense = int(config['encoder_dense_blocks'])
+    n_dec_dense = int(config['decoder_dense_blocks'])
+    n_enc_conv = len(config['encoder_num_heads']) - n_enc_dense
+    n_dec_conv = len(config['decoder_num_heads']) - n_dec_dense
+    n_attn_convs = len(config.get('encoder_attention_conv_filters') or [])
+    return [
+        ['encoder_prenet/table'],
+        _skel_self_attention_blocks('encoder', n_enc_dense, n_enc_conv,
+                                    n_attn_convs),
+        _skel_stat_predictor('dur_pred',
+                             len(config['duration_conv_filters'])),
+        [],  # Expand: no weights
+        _skel_stat_predictor('pitch_pred',
+                             len(config['pitch_conv_filters'])),
+        _skel_dense('pitch_embed'),
+        _skel_self_attention_blocks('decoder', n_dec_dense, n_dec_conv,
+                                    n_attn_convs),
+        _skel_dense('out'),
+    ]
+
+
+def aligner_legacy_skeleton(config: dict):
+    """Aligner layer creation order (model/models.py:53-79): Embedding,
+    Encoder, DecoderPrenet, Decoder, FinalProj, Postnet."""
+    return [
+        ['encoder_prenet/table'],
+        _skel_self_attention_blocks(
+            'encoder', len(config['encoder_num_heads']), 0, 0),
+        # DecoderPrenet: d1, d2, then the non-trainable dropout-rate Variable
+        (_skel_dense('decoder_prenet/d1') + _skel_dense('decoder_prenet/d2')
+         + ['__skip__']),
+        _skel_cross_attention_blocks(
+            'decoder', len(config['decoder_num_heads'])),
+        _skel_dense('final_proj_mel'),
+        _skel_dense('decoder_postnet/stop_linear')
+        + _skel_dense('decoder_postnet/mel_out'),
+    ]
+
+
+def convert_legacy_weights(groups, skeleton, template_flat=None) -> dict:
+    """Zip ordered weight arrays onto pytree paths with shape verification.
+
+    ``template_flat``: optional {path: shape} from an initialized model to
+    verify every assignment (any ordering mistake breaks the shape chain).
+    """
+    if len(groups) != len(skeleton):
+        raise ValueError(f'layer-group count mismatch: checkpoint has '
+                         f'{len(groups)}, expected {len(skeleton)}')
+    tree = {}
+    for g_arrays, g_paths in zip(groups, skeleton):
+        arrays = list(g_arrays)
+        paths = [p for p in g_paths]
+        n_real = len([p for p in paths if p != '__skip__'])
+        if len(arrays) != len(paths):
+            raise ValueError(f'weight count mismatch in group: checkpoint '
+                             f'{len(arrays)} vs expected {len(paths)} '
+                             f'({paths[:3]}…)')
+        for path, arr in zip(paths, arrays):
+            if path == '__skip__':
+                continue
+            if template_flat is not None and path in template_flat:
+                want = tuple(template_flat[path])
+                got = tuple(np.shape(arr))
+                if want != got and not (want == () and got in ((), (1,))):
+                    raise ValueError(
+                        f'shape mismatch at {path}: checkpoint {got}, '
+                        f'model {want}')
+            node = tree
+            parts = path.split('/')
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = np.asarray(arr).reshape(
+                template_flat[path] if template_flat and path in template_flat
+                else np.shape(arr))
+    return tree
+
+
+def load_legacy_weights_into(model, weights_path) -> None:
+    """Populate ``model.params`` from a legacy Keras-2 hdf5 file via the
+    order+shape skeleton mapping (every assignment is shape-verified against
+    the freshly initialized model, so ordering errors fail loudly)."""
+    import jax
+    import jax.numpy as jnp
+    from transformertts_tpu.utils.pytree import flatten_params
+    from transformertts_tpu.models.forward_tts import ForwardTransformer
+    template = model.init_params(jax.random.PRNGKey(0))
+    template_flat = {k: v.shape for k, v in flatten_params(template).items()}
+    groups, names = read_legacy_h5(weights_path)
+    if isinstance(model, ForwardTransformer):
+        skeleton = forward_legacy_skeleton(model.config)
+    else:
+        skeleton = aligner_legacy_skeleton(model.config)
+    params = convert_legacy_weights(groups, skeleton, template_flat)
+    model.params = jax.tree_util.tree_map(jnp.asarray, params)
