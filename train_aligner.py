@@ -176,10 +176,12 @@ def main(argv=None):
         r = reduction_schedule(step, config['reduction_factor_schedule'])
         model.set_constants(reduction_factor=r)
         batch = train_data.next_batch()
+        plot_step = (step + 1) % plot_freq == 0
         state, aux = trainer.train_step(
             state, batch, r=r,
             force_encoder_diagonal=step < force_enc_steps,
-            force_decoder_diagonal=step < force_dec_steps)
+            force_decoder_diagonal=step < force_dec_steps,
+            return_attention=plot_step)
         step = int(state.step)
         summary_manager.add_scalar('Meta/iter_time',
                                    _time.perf_counter() - _t0, step)
@@ -198,7 +200,7 @@ def main(argv=None):
                                             config['learning_rate_schedule'])),
             step)
 
-        if step % plot_freq == 0:
+        if plot_step:
             mel_len = np.sum((np.abs(batch['mel']).sum(-1) > 0), axis=-1)
             phon_len = np.sum(batch['tokens'] != 0, axis=-1)
             n_real = len(mel_len)  # aux tensors are padded to the mesh multiple

@@ -106,7 +106,7 @@ class AlignerTrainer:
         # is given, and (r, flags) select the compiled variant
         self._train_step = jax.jit(
             self._train_step_impl,
-            static_argnums=(2, 3, 4),
+            static_argnums=(2, 3, 4, 5),
             in_shardings=(state_sh, data),
             donate_argnums=(0,))
         self._val_step = jax.jit(
@@ -115,7 +115,8 @@ class AlignerTrainer:
             in_shardings=(state_sh, data))
 
     def _train_step_impl(self, state: TrainState, batch: dict, r: int,
-                         force_enc: bool, force_dec: bool):
+                         force_enc: bool, force_dec: bool,
+                         return_attention: bool):
         rng = jax.random.fold_in(self.base_rng, state.step)
         (_, (losses, out)), grads = jax.value_and_grad(
             lambda p: aligner_loss(self.model, p, batch, r, self.stop_loss,
@@ -127,10 +128,13 @@ class AlignerTrainer:
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state)
         aux = dict(losses)
-        aux['decoder_attention'] = out['decoder_attention']
-        aux['encoder_attention'] = out['encoder_attention']
-        aux['text_mask'] = out['text_mask']
-        aux['mel_mask'] = out['mel_mask']
+        if return_attention:
+            # attention maps are (B, H, T, T) per layer — hundreds of MB of
+            # HBM writes per step; only materialize on diagnostic steps
+            aux['decoder_attention'] = out['decoder_attention']
+            aux['encoder_attention'] = out['encoder_attention']
+            aux['text_mask'] = out['text_mask']
+            aux['mel_mask'] = out['mel_mask']
         return new_state, aux
 
     def _val_step_impl(self, state: TrainState, batch: dict, r: int,
@@ -156,12 +160,14 @@ class AlignerTrainer:
 
     def train_step(self, state: TrainState, batch: dict, r: int = None,
                    force_encoder_diagonal: bool = False,
-                   force_decoder_diagonal: bool = False):
+                   force_decoder_diagonal: bool = False,
+                   return_attention: bool = False):
         r = r if r is not None else self.model.r
         if self._train_step is None:
             self._build_steps(state)
         return self._train_step(state, self.shard_batch(batch), r,
-                                force_encoder_diagonal, force_decoder_diagonal)
+                                force_encoder_diagonal, force_decoder_diagonal,
+                                return_attention)
 
     def val_step(self, state: TrainState, batch: dict, r: int = None,
                  force_encoder_diagonal: bool = False,
