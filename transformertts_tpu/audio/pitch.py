@@ -84,5 +84,16 @@ def yin_f0(wav: jax.Array, sampling_rate: int, hop_length: int,
 
 def extract_pitch_np(wav: np.ndarray, sampling_rate: int, hop_length: int,
                      **kwargs) -> np.ndarray:
-    """Host convenience wrapper returning a NumPy array."""
-    return np.asarray(yin_f0(jnp.asarray(wav), sampling_rate, hop_length, **kwargs))
+    """Host convenience wrapper returning a NumPy array.
+
+    The wav is zero-padded to a coarse length bucket so arbitrary clip
+    lengths share a handful of compiled executables (tail zero-padding does
+    not change the leading frames — YIN windows are local)."""
+    n_frames = 1 + len(wav) // hop_length
+    bucket = hop_length * 256
+    padded = np.zeros((max(len(wav), -(-len(wav) // bucket) * bucket),),
+                      np.float32)
+    padded[:len(wav)] = wav
+    f0 = np.asarray(yin_f0(jnp.asarray(padded), sampling_rate, hop_length,
+                           **kwargs))
+    return f0[:n_frames]
