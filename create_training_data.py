@@ -55,7 +55,6 @@ def featurize_batch(audio: Audio, names, wavs, mel_dir: Path, pitch_dir: Path,
     """Device-batched mel+pitch for one bucket of clips. Returns kept names
     and raw pitch arrays (for later normalization)."""
     import jax.numpy as jnp
-    from transformertts_tpu.audio import spectral
     from transformertts_tpu.audio.pitch import yin_f0
 
     hop = audio.hop_length

@@ -23,7 +23,7 @@ import queue
 import threading
 from pathlib import Path
 from random import Random
-from typing import Callable, Dict, List, Optional, Sequence, Union
+from typing import Callable, Dict, List, Sequence, Union
 
 import numpy as np
 

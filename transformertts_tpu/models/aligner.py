@@ -19,7 +19,6 @@ TPU-first re-design (vs. the TF reference):
   the stop check happens on device.
 """
 import subprocess
-from functools import partial
 from pathlib import Path
 from typing import Optional
 

@@ -19,7 +19,6 @@ TPU-first re-design decisions (vs. the TF reference):
   so arbitrary sentences reuse a small set of compiled programs.
 """
 import subprocess
-from functools import partial
 from pathlib import Path
 from typing import Optional
 

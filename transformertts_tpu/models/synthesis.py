@@ -8,7 +8,7 @@ encode→decode at a shared frame budget, and waveforms come back from ONE
 vmapped on-device Griffin-Lim per bucket. Each wav is trimmed to its own
 predicted length.
 """
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import jax.numpy as jnp
 import numpy as np

@@ -11,7 +11,6 @@ reference re-traces all tf.functions instead, models.py:229-245). The
 diagonal masks are computed with the vectorized batch_diagonal_mask (no host
 loop).
 """
-from functools import partial
 from typing import Optional
 
 import jax

@@ -13,8 +13,7 @@ TPU-first design:
 - dropout RNG is folded from a base key and the step counter, giving
   reproducible multi-host-safe randomness.
 """
-from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
