@@ -167,8 +167,9 @@ def main(argv=None):
     import time as _time
     t = tqdm.trange(int(state.step), max_steps, initial=int(state.step),
                     total=max_steps, file=sys.stdout)
+    py_step = int(state.step)  # host-side step mirror (no per-step device sync)
     for _ in t:
-        step = int(state.step)
+        step = py_step
         if step == profile_start:
             import jax.profiler
             jax.profiler.start_trace(str(cm.log_dir / 'profile'))
@@ -182,7 +183,8 @@ def main(argv=None):
             force_encoder_diagonal=step < force_enc_steps,
             force_decoder_diagonal=step < force_dec_steps,
             return_attention=plot_step)
-        step = int(state.step)
+        py_step += 1
+        step = py_step
         summary_manager.add_scalar('Meta/iter_time',
                                    _time.perf_counter() - _t0, step)
         if profile_start >= 0 and step == profile_start + profile_n:

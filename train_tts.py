@@ -151,22 +151,15 @@ def main(argv=None):
     t = tqdm.trange(int(state.step), max_steps,
                     initial=int(state.step), total=max_steps,
                     file=sys.stdout)
-    for _ in t:
-        step0 = int(state.step)
-        if step0 == profile_start:
-            import jax.profiler
-            jax.profiler.start_trace(str(cm.log_dir / 'profile'))
-        _t0 = _time.perf_counter()
-        batch = train_data.next_batch()
-        state, aux = trainer.train_step(state, batch)
-        step = int(state.step)
-        summary_manager.add_scalar('Meta/iter_time',
-                                   _time.perf_counter() - _t0, step)
-        if profile_start >= 0 and step == profile_start + profile_n:
-            import jax.profiler
-            jax.profiler.stop_trace()
+    py_step = int(state.step)  # host-side mirror: avoids a device sync per
+    # step (reading state.step blocks until the jitted step completes and
+    # would serialize host dispatch against device execution)
+    def log_step(step, aux, batch, iter_time):
+        """Host-side logging for a completed step. Called one step late so
+        fetching the loss scalars never blocks the device (the next step is
+        already dispatched and running while this executes)."""
+        summary_manager.add_scalar('Meta/iter_time', iter_time, step)
         t.set_postfix(loss=float(aux['loss']))
-
         summary_manager.display_loss(
             {k: v for k, v in aux.items()
              if k in ('loss', 'mel', 'duration', 'pitch')}, step)
@@ -181,7 +174,24 @@ def main(argv=None):
                            np.asarray(aux['duration_pred'])[:n_real]))
         if len(fname_durs) >= 100:
             log_duration_histograms(model, fname_durs, summary_manager, step)
-            fname_durs = []
+            fname_durs.clear()
+
+    pending = None
+    for _ in t:
+        if py_step == profile_start:
+            import jax.profiler
+            jax.profiler.start_trace(str(cm.log_dir / 'profile'))
+        _t0 = _time.perf_counter()
+        batch = train_data.next_batch()
+        state, aux = trainer.train_step(state, batch)
+        py_step += 1
+        step = py_step
+        if pending is not None:
+            log_step(*pending)
+        pending = (step, aux, batch, _time.perf_counter() - _t0)
+        if profile_start >= 0 and step == profile_start + profile_n:
+            import jax.profiler
+            jax.profiler.stop_trace()
 
         if step % ckpt_freq == 0:
             checkpointing.save_checkpoint(
@@ -198,6 +208,8 @@ def main(argv=None):
         if step % pred_freq == 0 and step >= pred_start:
             predict_test_sentences(model, state, audio, summary_manager,
                                    config, step)
+    if pending is not None:
+        log_step(*pending)
     checkpointing.save_checkpoint(cm.weights_dir, state,
                                   keep_n=int(config['keep_n_weights']))
     print('done')
