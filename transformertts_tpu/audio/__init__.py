@@ -170,6 +170,12 @@ class Audio:
         mel = jnp.asarray(mel, jnp.float32)
         if mel.ndim == 2 and mel.shape[0] == self.mel_channels:
             mel = mel.T  # accept (mels, frames) like the reference
+        # Griffin-Lim's internal STFT needs n_fft//hop frames of signal for
+        # its reflect centering; edge-pad degenerate (untrained-model) mels
+        min_frames = max(self.n_fft // self.hop_length, 2)
+        if mel.shape[0] < min_frames:
+            mel = jnp.concatenate(
+                [mel] + [mel[-1:]] * (min_frames - mel.shape[0]), axis=0)
         amp = self._denormalize(mel)
         S = griffinlim.mel_to_linear(amp, self.sampling_rate, self.n_fft,
                                      self.f_min, self.f_max)

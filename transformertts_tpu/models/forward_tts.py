@@ -336,8 +336,10 @@ class ForwardTransformer:
             self.params, features, pitch,
             jnp.asarray(durations_used), jnp.asarray(max_mask), jnp.asarray(min_mask),
             jnp.asarray(duration_scalar), keep, max_frames)
-        # trim padding frames
-        n_valid = int(np.round(clamped).sum(axis=1).max())
+        # trim padding frames (always keep at least one: an untrained model
+        # can predict zero total duration, and empty mels break downstream
+        # STFT padding)
+        n_valid = max(1, int(np.round(clamped).sum(axis=1).max()))
         out = {'mel': np.asarray(mel)[0, :n_valid],
                'duration': np.asarray(durations_used)[:, :n_orig],
                'pitch': np.asarray(pitch)[:, :n_orig]}
