@@ -129,3 +129,30 @@ def test_predict_cached_matches_full_decoder(aligner):
     full = aligner.apply(aligner.params, tokens, tar, 1, deterministic=True)
     np.testing.assert_allclose(np.asarray(full['mel'])[0], out['mel'],
                                atol=2e-4)
+
+
+def test_predict_with_mixed_head_counts():
+    """The published aligner uses decoder heads [4,4,4,4,1]; per-block KV
+    cache shapes must follow each block's own head count."""
+    m = Aligner(
+        encoder_model_dimension=32, decoder_model_dimension=32,
+        encoder_num_heads=[2], decoder_num_heads=[2, 1],
+        encoder_max_position_encoding=200, decoder_max_position_encoding=600,
+        encoder_prenet_dimension=32, decoder_prenet_dimension=32,
+        dropout_rate=0.1, mel_start_value=0.5, mel_end_value=-0.5,
+        mel_channels=MEL, phoneme_language='en-us', with_stress=False,
+        decoder_prenet_dropout=0.1, model_breathing=True,
+        encoder_feed_forward_dimension=64, decoder_feed_forward_dimension=64,
+        max_r=10)
+    m.init_params(jax.random.PRNGKey(4))
+    m.set_constants(reduction_factor=1)
+    out = m.predict('ab', max_length=16)
+    assert out['mel'].shape[1] == MEL
+    # cached decode must match the full decoder with mixed heads too
+    if out['mel'].shape[0] >= 2:
+        tokens = np.asarray(m.encode_text('ab'), np.int32)[None, :]
+        tar = np.concatenate([np.full((1, 1, MEL), 0.5, np.float32),
+                              out['mel'][None, :-1]], axis=1)
+        full = m.apply(m.params, tokens, tar, 1, deterministic=True)
+        np.testing.assert_allclose(np.asarray(full['mel'])[0], out['mel'],
+                                   atol=2e-4)

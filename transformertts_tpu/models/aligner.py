@@ -244,8 +244,11 @@ class Aligner:
 
     def _build_predict_fn(self, max_steps: int, r: int):
         n_blocks = len(self.decoder.blocks)
-        num_heads = self.decoder.blocks[0].sarn.mha.num_heads
-        depth = self.decoder.blocks[0].sarn.mha.depth
+        # head counts can differ per block (published config: [4,4,4,4,1]),
+        # so each block's KV cache gets its own (H_i, D_i) shape
+        head_shapes = [(b.sarn.mha.num_heads, b.sarn.mha.depth)
+                       for b in self.decoder.blocks]
+        last_heads = self.decoder.blocks[-1].carn.mha.num_heads
 
         def predict_fn(params, tokens):
             enc_out, enc_pad_mask, _ = self.encode(params, tokens,
@@ -259,12 +262,12 @@ class Aligner:
             b = tokens.shape[0]
             n_tok = tokens.shape[1]
             dtype = self.compute_dtype
-            k0 = [jnp.zeros((b, num_heads, max_steps, depth), dtype)
-                  for _ in range(n_blocks)]
-            v0 = [jnp.zeros((b, num_heads, max_steps, depth), dtype)
-                  for _ in range(n_blocks)]
+            k0 = [jnp.zeros((b, h, max_steps, d), dtype)
+                  for h, d in head_shapes]
+            v0 = [jnp.zeros((b, h, max_steps, d), dtype)
+                  for h, d in head_shapes]
             mel_buf = jnp.zeros((b, max_steps * r, self.mel_channels), jnp.float32)
-            attn_buf = jnp.zeros((b, num_heads, max_steps, n_tok), jnp.float32)
+            attn_buf = jnp.zeros((b, last_heads, max_steps, n_tok), jnp.float32)
             x0 = jnp.tile(jnp.asarray(self.start_vec, jnp.float32)[None, ...],
                           (b, 1, 1))
             steps = jnp.arange(max_steps)
