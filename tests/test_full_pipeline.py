@@ -166,3 +166,25 @@ def test_stage5_predict(pipeline_tmp):
     model = ForwardTransformer.load_model(cm.base_dir / 'model_step_2')
     out = model.predict('hello world', encode=True)
     assert out['mel'].ndim == 2 and out['mel'].shape[1] == 80
+
+
+def test_stage4b_train_tts_resumes(pipeline_tmp):
+    """Restart semantics: rerunning the same command resumes from the latest
+    checkpoint (reference train_tts.py:121-131)."""
+    tmp, cfg = pipeline_tmp
+    import yaml
+    with open(cfg) as f:
+        full = yaml.safe_load(f)
+    full['tts_settings']['max_steps'] = 5
+    with open(cfg, 'w') as f:
+        yaml.safe_dump(full, f)
+    import train_tts
+    train_tts.main(['--config', str(cfg), '--yes'])
+    from transformertts_tpu.utils.config import TrainingConfigManager
+    from transformertts_tpu.training import checkpointing
+    cm = TrainingConfigManager(cfg, aligner=False)
+    steps = [s for s, _ in checkpointing.list_checkpoints(cm.weights_dir)]
+    assert max(steps) == 5
+    # the resumed model dir reflects the continued run
+    model = cm.load_model(verbose=False)
+    assert model.step == 5
