@@ -164,9 +164,10 @@ class TrainingConfigManager:
     def load_model(self, checkpoint_path: str = None, verbose: bool = True):
         """Model with weights from a checkpoint (latest if unspecified);
         re-applies the reduction schedule for aligners."""
+        import jax
         from transformertts_tpu.training import checkpointing
         model = self.get_model()
-        model.init_params(__import__('jax').random.PRNGKey(42))
+        model.init_params(jax.random.PRNGKey(42))
         tx = self.get_optimizer()
         from transformertts_tpu.training.state import init_state
         template = init_state(model.params, tx)
