@@ -215,3 +215,27 @@ def test_checkpoint_roundtrip(tmp_path):
     steps = [s for s, _ in checkpointing.list_checkpoints(tmp_path)]
     assert 30 in steps and 25 in steps and 20 in steps
     assert 10 not in steps and 7 not in steps
+
+
+def test_config_manager_load_model_explicit_checkpoint(tmp_path):
+    """cm.load_model(checkpoint_path=...) restores a specific snapshot."""
+    import jax
+    import jax.numpy as jnp
+    from transformertts_tpu.training import checkpointing, make_optimizer
+    from transformertts_tpu.training.state import init_state
+
+    cfg_path = _write_session_config(tmp_path)
+    cm = __import__('transformertts_tpu.utils.config',
+                    fromlist=['TrainingConfigManager']
+                    ).TrainingConfigManager(cfg_path, aligner=False)
+    cm.create_remove_dirs(assume_yes=True)
+    model = cm.get_model()
+    params = model.init_params(jax.random.PRNGKey(1))
+    tx = cm.get_optimizer()
+    state = init_state(params, tx, step=123)
+    path = checkpointing.save_checkpoint(cm.weights_dir, state)
+    loaded = cm.load_model(checkpoint_path=path, verbose=False)
+    assert loaded.step == 123
+    np.testing.assert_array_equal(
+        np.asarray(loaded.params['out']['bias']),
+        np.asarray(params['out']['bias']))
