@@ -117,3 +117,20 @@ def test_ignore_exception_never_raises(tmp_path):
     # bad input must not raise
     sm.display_mel('not-a-mel', step=0)
     sm.display_loss({}, step=0)
+
+
+def test_control_frequency_throttles():
+    from transformertts_tpu.utils.logging_utils import control_frequency
+
+    class Sink:
+        plot_frequency = 3
+        calls = []
+
+        @control_frequency('plot_frequency')
+        def plot(self, step):
+            self.calls.append(step)
+
+    s = Sink()
+    for step in range(7):
+        s.plot(step=step)
+    assert s.calls == [0, 3, 6]

@@ -19,7 +19,7 @@ representable in the float32 accumulator, so one MXU pass is already exact
 and HIGHEST would only force a ~3× slower multi-pass emulation (measured:
 423k → 1.24M mel frames/s on the bench forward pass).
 """
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -166,13 +166,6 @@ class Embedding:
 
     def apply(self, params: Params, ids: jax.Array) -> jax.Array:
         return jnp.take(params['table'], ids, axis=0)
-
-
-class Sequential:
-    """Named sub-module composition helper for init only."""
-
-    def __init__(self, modules: Sequence):
-        self.modules = list(modules)
 
 
 def split_keys(key, n: int):
