@@ -69,3 +69,10 @@ def test_explicit_pitch_changes_output(model):
                       phoneme_pitch=np.full(len(tokens), 3.0, np.float32))
     assert a['mel'].shape == b['mel'].shape
     assert not np.allclose(a['mel'], b['mel'])
+
+
+def test_reference_usage_snippet_runs(model):
+    """The reference README snippet shape: out['mel'].numpy().T must work."""
+    out = model.predict('hello')
+    mel_t = out['mel'].numpy().T
+    assert mel_t.shape[0] == 12

@@ -29,7 +29,8 @@ import yaml
 
 from transformertts_tpu.nn import blocks, core, masks
 from transformertts_tpu.text import TextToTokens
-from transformertts_tpu.utils.pytree import flatten_params, unflatten_params
+from transformertts_tpu.utils.pytree import (flatten_params, host_array,
+                                             unflatten_params)
 
 
 class Aligner:
@@ -322,8 +323,9 @@ class Aligner:
         n = int(n_steps)
         if verbose:
             print(f'stopped after {n} steps')
-        return {'mel': np.asarray(mel_buf)[0, : n * self.r],
-                'decoder_attention': np.asarray(attn_buf)[:, :, :n, :],
+        return {'mel': host_array(np.asarray(mel_buf)[0, : n * self.r]),
+                'decoder_attention': host_array(
+                    np.asarray(attn_buf)[:, :, :n, :]),
                 'n_steps': n}
 
     # ------------------------------------------------------------- constants

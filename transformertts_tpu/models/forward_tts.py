@@ -30,7 +30,8 @@ import yaml
 from transformertts_tpu.nn import core, blocks, masks
 from transformertts_tpu.nn.length_regulator import regulate_length
 from transformertts_tpu.text import TextToTokens
-from transformertts_tpu.utils.pytree import flatten_params, unflatten_params
+from transformertts_tpu.utils.pytree import (flatten_params, host_array,
+                                             unflatten_params)
 
 FRAME_BUCKET = 128  # decode frame budgets are rounded up to multiples of this
 
@@ -340,9 +341,9 @@ class ForwardTransformer:
         # can predict zero total duration, and empty mels break downstream
         # STFT padding)
         n_valid = max(1, int(np.round(clamped).sum(axis=1).max()))
-        out = {'mel': np.asarray(mel)[0, :n_valid],
-               'duration': np.asarray(durations_used)[:, :n_orig],
-               'pitch': np.asarray(pitch)[:, :n_orig]}
+        out = {'mel': host_array(np.asarray(mel)[0, :n_valid]),
+               'duration': host_array(np.asarray(durations_used)[:, :n_orig]),
+               'pitch': host_array(np.asarray(pitch)[:, :n_orig])}
         return out
 
     def _make_max_duration_mask(self, tokens: np.ndarray, phoneme_max_duration):

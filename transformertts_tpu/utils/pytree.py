@@ -29,3 +29,15 @@ def unflatten_params(flat: Dict[str, np.ndarray]) -> dict:
 def tree_size(params) -> int:
     """Total number of parameters."""
     return sum(int(np.prod(v.shape)) for v in flatten_params(params).values())
+
+
+class HostArray(np.ndarray):
+    """np.ndarray that also answers TF-style ``.numpy()`` — lets reference
+    user code like ``out['mel'].numpy().T`` run unchanged."""
+
+    def numpy(self) -> np.ndarray:
+        return np.asarray(self)
+
+
+def host_array(x) -> HostArray:
+    return np.asarray(x).view(HostArray)
