@@ -83,8 +83,9 @@ def test_aligner_dataset_batches(tmp_path):
     assert total == 7
     for b in batches:
         assert b['mel'].ndim == 3 and b['mel'].shape[2] == MEL
-        # mel frames padded to the bucket boundary (static shapes)
-        assert b['mel'].shape[1] in (20, 40, 64, 128)
+        # mel frames padded to the bucket boundary (static shapes); overflow
+        # clips land in one coarse OVERFLOW_PAD-multiple shape
+        assert b['mel'].shape[1] in (20, 40, 256)
         assert b['stop_probs'].shape == b['mel'].shape[:2]
         # start/end vectors present on real samples
         real = b['fname'] != ''
@@ -239,3 +240,46 @@ def test_config_manager_load_model_explicit_checkpoint(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(loaded.params['out']['bias']),
         np.asarray(params['out']['bias']))
+
+
+def test_prefetch_propagates_worker_exception():
+    """A failing load_fn (e.g. missing .npy) must raise in the consumer, not
+    silently truncate the epoch as an early end-of-stream."""
+    from transformertts_tpu.data.datasets import BucketedDataset
+
+    def load_fn(name):
+        if name == 'bad':
+            raise FileNotFoundError('missing npy for ' + name)
+        return {'mel': np.zeros((4, 2), np.float32), 'tokens': [1, 2],
+                'fname': name}
+
+    ds = BucketedDataset(['a', 'bad', 'c'], load_fn,
+                         len_fn=lambda s: s['mel'].shape[0], mel_channels=2,
+                         bucket_boundaries=[8], bucket_batch_sizes=[1, 1],
+                         shuffle=False, prefetch=2)
+    it = ds.all_batches()
+    next(it)  # 'a' is fine
+    with pytest.raises(FileNotFoundError):
+        for _ in it:
+            pass
+
+
+def test_overflow_bucket_coarse_padding_bounds_shapes():
+    """Out-of-range clips must share coarse overflow shapes (multiple of
+    OVERFLOW_PAD), not mint one executable per unique length."""
+    from transformertts_tpu.data.datasets import OVERFLOW_PAD, BucketedDataset
+
+    lengths = {f's{i}': 100 + 7 * i for i in range(6)}  # all beyond boundary
+
+    def load_fn(name):
+        t = lengths[name]
+        return {'mel': np.zeros((t, 2), np.float32), 'tokens': [1, 2, 3],
+                'fname': name}
+
+    ds = BucketedDataset(list(lengths), load_fn,
+                         len_fn=lambda s: s['mel'].shape[0], mel_channels=2,
+                         bucket_boundaries=[64], bucket_batch_sizes=[2, 1],
+                         shuffle=False, prefetch=0)
+    frame_shapes = {b['mel'].shape[1] for b in ds.all_batches()}
+    assert all(f % OVERFLOW_PAD == 0 for f in frame_shapes)
+    assert len(frame_shapes) == 1  # all six lengths collapse to one shape

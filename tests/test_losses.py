@@ -53,3 +53,38 @@ def test_weighted_sum():
     f = lambda t, p: jnp.asarray(1.0)
     total, vals = weighted_sum_losses((1, 2), (1, 2), (f, f), (2.0, 3.0))
     assert float(total) == 5.0 and len(vals) == 2
+
+
+def test_masked_mae_explicit_mask_supervises_zero_targets():
+    """Duration/pitch heads pass an explicit token-padding mask so that
+    legitimately-zero targets (0-duration phonemes, unvoiced pitch) still
+    contribute loss — unlike the inferred nonzero-target mask."""
+    targets = jnp.asarray([[2.0, 0.0, 0.0]])       # middle target is a real 0
+    preds = jnp.asarray([[2.0, 5.0, 5.0]])
+    tok_mask = jnp.asarray([[1.0, 1.0, 0.0]])      # last position is padding
+    loss = float(masked_mean_absolute_error(targets, preds, mask=tok_mask))
+    np.testing.assert_allclose(loss, (0.0 + 5.0) / 2.0, atol=1e-6)
+    # inferred mask would have ignored the zero target entirely
+    inferred = float(masked_mean_absolute_error(targets, preds))
+    np.testing.assert_allclose(inferred, 0.0, atol=1e-6)
+
+
+def test_forward_loss_duration_mask_from_tokens():
+    """forward_loss must penalize wrong predictions at zero-duration
+    positions inside the token mask."""
+    from transformertts_tpu.training.forward_trainer import forward_loss
+
+    class _FakeModel:
+        def apply(self, params, tokens, max_frames, **kw):
+            B, N = tokens.shape
+            return {'mel': jnp.zeros((B, max_frames, 2)),
+                    'duration': jnp.full((B, N, 1), 7.0),
+                    'pitch': jnp.zeros((B, N, 1))}
+
+    batch = {'tokens': jnp.asarray([[3, 4, 0, 0]]),
+             'mel': jnp.zeros((1, 8, 2)),
+             'durations': jnp.asarray([[5.0, 0.0, 0.0, 0.0]]),
+             'pitch': jnp.zeros((1, 4))}
+    total, (losses, _) = forward_loss(_FakeModel(), None, batch, None, True)
+    # duration MAE over the 2 real tokens: (|5-7| + |0-7|) / 2 = 4.5
+    np.testing.assert_allclose(float(losses['duration']), 4.5, atol=1e-6)

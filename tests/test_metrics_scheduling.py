@@ -66,3 +66,22 @@ def test_reduction_schedule():
     assert reduction_schedule(79_999, sched) == 10
     assert reduction_schedule(80_000, sched) == 5
     assert reduction_schedule(200_000, sched) == 1
+
+
+def test_diagonal_mask_finite_with_zero_length_sample():
+    """Ragged bucket batches contain all-padding samples (length 0); the
+    diagonal mask must be all-zero there, never inf/NaN — with diagonal
+    forcing on, one NaN would poison all aligner gradients."""
+    mask = np.asarray(batch_diagonal_mask(
+        (2, 1, 6, 6), jnp.asarray([6, 0]), jnp.asarray([4, 0])))
+    assert np.all(np.isfinite(mask))
+    assert np.all(mask[1] == 0)
+
+
+def test_attention_score_finite_with_zero_mass_sample():
+    att = np.zeros((2, 2, 8, 8), np.float32)
+    att[0] = np.asarray(_diag_attention(H=2))[0]
+    loc, peak, diag = attention_score(
+        jnp.asarray(att), jnp.asarray([8, 0]), jnp.asarray([8, 0]), r=1)
+    for x in (loc, peak, diag):
+        assert np.all(np.isfinite(np.asarray(x)))

@@ -31,6 +31,12 @@ from transformertts_tpu.data.metadata import get_preprocessor_by_name
 from transformertts_tpu.text.tokenizer import Tokenizer
 
 TOKEN_PAD = 32
+# overflow-bucket frame axes round up to this multiple; coarse on purpose so
+# out-of-range clips cannot mint a new compiled executable per unique length
+OVERFLOW_PAD = 256
+# soft ceiling on distinct (frames, tokens) batch shapes per dataset before a
+# warning is logged — each distinct shape is one XLA executable per step fn
+MAX_DISTINCT_SHAPES = 24
 
 
 def get_files(path: Union[Path, str], extension: str = '.wav') -> List[Path]:
@@ -254,6 +260,7 @@ class BucketedDataset:
         self.drop_remainder = drop_remainder
         self.prefetch = prefetch
         self._iter = None
+        self._shapes_seen: set = set()
 
     # ------------------------------------------------------------- internals
 
@@ -268,7 +275,7 @@ class BucketedDataset:
             return self.bucket_boundaries[bucket_idx]
         # overflow bucket: round up to a coarse multiple to bound the number
         # of distinct compiled shapes
-        return -(-max_len // 64) * 64
+        return -(-max_len // OVERFLOW_PAD) * OVERFLOW_PAD
 
     def _collate(self, bucket_idx: int, items: List[dict]) -> dict:
         batch_size = self.bucket_batch_sizes[bucket_idx]
@@ -277,6 +284,14 @@ class BucketedDataset:
         frames = max(frames, max_mel)
         max_tok = max(len(s['tokens']) for s in items)
         tokens_len = -(-max_tok // TOKEN_PAD) * TOKEN_PAD
+        shape_key = (batch_size, frames, tokens_len)
+        if shape_key not in self._shapes_seen:
+            self._shapes_seen.add(shape_key)
+            if len(self._shapes_seen) > MAX_DISTINCT_SHAPES:
+                print(f'WARNING: dataset has emitted '
+                      f'{len(self._shapes_seen)} distinct batch shapes '
+                      f'(latest {shape_key}); each costs one XLA compile per '
+                      f'step fn — consider coarser buckets')
         out: Dict[str, np.ndarray] = {}
         out['mel'] = np.zeros((batch_size, frames, self.mel_channels), np.float32)
         out['tokens'] = np.zeros((batch_size, tokens_len), np.int32)
@@ -330,8 +345,11 @@ class BucketedDataset:
             try:
                 for item in gen:
                     q.put(item)
-            finally:
                 q.put(DONE)
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                # a worker failure (e.g. missing .npy) must surface in the
+                # consumer, not silently truncate the epoch as an early DONE
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -339,6 +357,8 @@ class BucketedDataset:
             item = q.get()
             if item is DONE:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
     # ------------------------------------------------------------------- API

@@ -170,7 +170,7 @@ def convert_forward_weights(flat: Dict[str, np.ndarray]) -> dict:
     dense_groups = [g for g in _sorted_groups(layers) if g.startswith('dense')]
     stat_groups = [g for g in _sorted_groups(layers)
                    if g.startswith('stat_predictor')]
-    if 'pitch_pred/' in ''.join(flat):
+    if any(k.startswith('pitch_pred/') for k in flat):
         pitch_pred = _stat_predictor(flat, 'pitch_pred/')
     else:
         pitch_pred = _stat_predictor(layers, f'{stat_groups[0]}/')

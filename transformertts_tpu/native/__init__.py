@@ -38,11 +38,13 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         _tried = True
         if not _LIB_PATH.exists():
-            src_mtime = (_CSRC / 'native_ops.cpp').stat().st_mtime
             if not _build():
                 return None
         elif (_CSRC / 'native_ops.cpp').stat().st_mtime > _LIB_PATH.stat().st_mtime:
-            _build()
+            if not _build():
+                # never load a stale .so whose semantics may no longer match
+                # the Python/JAX paths; fall back to pure-JAX implementations
+                return None
         try:
             lib = ctypes.CDLL(str(_LIB_PATH))
         except OSError as e:

@@ -39,10 +39,18 @@ def forward_loss(model, params, batch: dict, rng, deterministic: bool):
                       target_durations=dur_target,
                       target_pitch=pitch_target,
                       rng=rng, deterministic=deterministic)
+    # Duration/pitch targets can legitimately be zero (0-duration phonemes
+    # from the DP, unvoiced pitch), so their mask must come from token
+    # padding, not from nonzero-target inference — otherwise the model is
+    # never supervised to predict 0 there (reference's duration/pitch MAE is
+    # effectively unmasked, model/models.py:485).
+    tok_mask = (tokens > 0).astype(jnp.float32)
     total, (l_mel, l_dur, l_pitch) = weighted_sum_losses(
         (mel_target, dur_target, pitch_target),
         (out['mel'], out['duration'], out['pitch']),
-        (masked_mean_absolute_error,) * 3,
+        (masked_mean_absolute_error,
+         lambda t, p: masked_mean_absolute_error(t, p, mask=tok_mask),
+         lambda t, p: masked_mean_absolute_error(t, p, mask=tok_mask)),
         LOSS_WEIGHTS)
     losses = {'loss': total, 'mel': l_mel, 'duration': l_dur, 'pitch': l_pitch}
     return total, (losses, out)

@@ -46,10 +46,14 @@ def batch_diagonal_mask(att_shape: Tuple[int, ...], mel_len: jax.Array,
 
     mask[b, 0, m, n] = |n / phon_len[b] - m / mel_len[b]| inside the valid
     (mel_len[b], phon_len[b]) rectangle, 0 outside. Fully vectorized.
+
+    Lengths are clamped to >= 1: a zero-length (all-padding) sample in a
+    ragged bucket batch must yield an all-zero mask, not inf/phon_c * 0 = NaN
+    — with diagonal forcing on, one NaN here would poison every gradient.
     """
     _, _, M, N = att_shape
-    mel_c = jnp.minimum(mel_len, M).astype(jnp.float32)          # (B,)
-    phon_c = jnp.minimum(phon_len, N).astype(jnp.float32)
+    mel_c = jnp.clip(mel_len, 1, M).astype(jnp.float32)          # (B,)
+    phon_c = jnp.clip(phon_len, 1, N).astype(jnp.float32)
     m_idx = jnp.arange(M, dtype=jnp.float32)[None, :, None]      # (1, M, 1)
     n_idx = jnp.arange(N, dtype=jnp.float32)[None, None, :]      # (1, 1, N)
     i = n_idx / phon_c[:, None, None]
@@ -77,4 +81,6 @@ def attention_score(att: jax.Array, mel_len: jax.Array, phon_len: jax.Array,
     loc = attention_jumps_score(att, mel_len, r)
     peak = attention_peak_score(att, mel_len)
     diag = diagonality_score(att, mel_len, phon_len)
-    return loc, peak, 3.0 / diag
+    # all-padding samples have zero attention mass in the valid rectangle;
+    # keep their score finite so batch reductions stay finite
+    return loc, peak, 3.0 / jnp.maximum(diag, 1e-8)
