@@ -210,12 +210,22 @@ class Audio:
         return y, sr
 
     def preprocess(self, y: np.ndarray) -> np.ndarray:
-        if self.norm_wav:
-            y = self.normalize_volume(y, increase_only=True)
-        if self.trim_long_silences:
-            y = self.trim_audio_long_silences(y)
-        if self.trim_silence:
-            y = self.trim_audio_silence(y)
+        """Offline wav cleanup: level → silence policy → hop alignment.
+
+        Same pipeline and config gates as the reference
+        (data/audio.py:131-140).
+        """
+        stages = (
+            (self.norm_wav,
+             lambda w: self.normalize_volume(w, increase_only=True)),
+            (self.trim_long_silences, self.trim_audio_long_silences),
+            (self.trim_silence, self.trim_audio_silence),
+        )
+        for enabled, stage in stages:
+            if enabled:
+                y = stage(y)
+        # a clip landing exactly on a hop boundary gains one sample so the
+        # STFT frame count is unambiguous
         if y.shape[0] % self.hop_length == 0:
             y = np.pad(y, (0, 1))
         return y
@@ -224,14 +234,16 @@ class Audio:
         wav_io.save_wav(np.asarray(y), wav_path, self.sampling_rate)
 
     def normalize_volume(self, wav, increase_only=False, decrease_only=False):
+        """Scale the clip toward ``target_dBFS`` (policy as in the reference,
+        data/audio.py:153-161 — there the int16 scale cancels out of the RMS
+        ratio, so dBFS reduces to the plain log-RMS of the float wav)."""
         if increase_only and decrease_only:
-            raise ValueError('Both increase only and decrease only are set')
-        rms = np.sqrt(np.mean((wav * self.int16_max) ** 2))
-        wave_dBFS = 20 * np.log10(rms / self.int16_max + 1e-12)
-        dBFS_change = self.target_dBFS - wave_dBFS
-        if dBFS_change < 0 and increase_only or dBFS_change > 0 and decrease_only:
+            raise ValueError('increase_only and decrease_only are exclusive')
+        rms = np.sqrt(np.mean(np.square(wav)))
+        gain_db = self.target_dBFS - 20.0 * np.log10(rms + 1e-12)
+        if (gain_db < 0 and increase_only) or (gain_db > 0 and decrease_only):
             return wav
-        return wav * (10 ** (dBFS_change / 20))
+        return wav * 10.0 ** (gain_db / 20.0)
 
     def trim_audio_silence(self, wav):
         return vad.trim_silence_top_db(wav, self.trim_silence_top_db,

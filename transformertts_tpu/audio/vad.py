@@ -11,10 +11,15 @@ import numpy as np
 
 
 def _moving_average(array: np.ndarray, width: int) -> np.ndarray:
-    padded = np.concatenate((np.zeros((width - 1) // 2), array, np.zeros(width // 2)))
-    ret = np.cumsum(padded, dtype=float)
-    ret[width:] = ret[width:] - ret[:-width]
-    return ret[width - 1:] / width
+    """Centered running mean with zero boundary handling.
+
+    Output i averages array[i-(width-1)//2 .. i+width//2] — the same window
+    alignment the reference smoothing uses (data/audio.py:185-191), expressed
+    as a convolution: that window ends at full-conv index i + width//2.
+    """
+    summed = np.convolve(np.asarray(array, dtype=float), np.ones(width),
+                         mode='full')
+    return summed[width // 2:width // 2 + len(array)] / width
 
 
 def _binary_dilation(mask: np.ndarray, width: int) -> np.ndarray:

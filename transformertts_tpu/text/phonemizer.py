@@ -15,10 +15,15 @@ import re
 import shutil
 import subprocess
 from functools import lru_cache
-from typing import List, Union
+from typing import Callable, Union
 
 from transformertts_tpu.text.symbols import all_phonemes, _punctuations
 from transformertts_tpu.text import g2p
+
+_KNOWN_SYMBOLS = frozenset(all_phonemes)
+# one or more whitespace chars, optionally hugging a punctuation mark
+_WS = re.compile(r'\s+')
+_WS_AROUND_PUNCT = re.compile(r'\s*([' + _punctuations + r'])\s*')
 
 
 @lru_cache(maxsize=1)
@@ -30,6 +35,16 @@ def _find_espeak() -> str:
     return ''
 
 
+def _per_string(fn: Callable[[str], str], text: Union[str, list]
+                ) -> Union[str, list]:
+    """Apply ``fn`` to a string or elementwise to a list of strings."""
+    if isinstance(text, str):
+        return fn(text)
+    if isinstance(text, list):
+        return [fn(t) for t in text]
+    raise TypeError(f'phonemizer input must be list or str, not {type(text)}')
+
+
 class Phonemizer:
 
     def __init__(self, language: str, with_stress: bool, njobs: int = 4, backend: str = 'auto'):
@@ -38,8 +53,6 @@ class Phonemizer:
         self.with_stress = with_stress
         self.special_hyphen = '—'
         self.punctuation = ';:,.!?¡¿—…"«»“”'
-        self._whitespace_re = re.compile(r'\s+')
-        self._whitespace_punctuation_re = re.compile(f'\\s*([{_punctuations}])\\s*')
         if backend == 'auto':
             backend = 'espeak' if _find_espeak() else 'builtin'
         if backend == 'espeak' and not _find_espeak():
@@ -50,12 +63,10 @@ class Phonemizer:
                  language=None) -> Union[str, list]:
         language = language or self.language
         with_stress = self.with_stress if with_stress is None else with_stress
-        text = self._preprocess(text)
-        if isinstance(text, list):
-            phonemes = [self._phonemize_string(t, language, with_stress) for t in text]
-        else:
-            phonemes = self._phonemize_string(text, language, with_stress)
-        return self._postprocess(phonemes)
+        text = _per_string(self._shield_hyphens, text)
+        phonemes = _per_string(
+            lambda t: self._phonemize_string(t, language, with_stress), text)
+        return _per_string(self._clean_phonemes, phonemes)
 
     # backends ---------------------------------------------------------------
 
@@ -85,32 +96,20 @@ class Phonemizer:
             out.append(ipa)
         return ' '.join(out)
 
-    # pre/post-processing (reference parity) ----------------------------------
+    # pre/post-processing (reference-parity semantics) ------------------------
 
-    def _preprocess_string(self, text: str) -> str:
-        # protect hyphens: phonemization treats '-' as a word break
+    def _shield_hyphens(self, text: str) -> str:
+        # phonemization backends treat '-' as a word break; stand in an
+        # em-dash (which survives as punctuation) and swap it back after
         return text.replace('-', self.special_hyphen)
 
-    def _preprocess(self, text: Union[str, list]) -> Union[str, list]:
-        if isinstance(text, list):
-            return [self._preprocess_string(t) for t in text]
-        if isinstance(text, str):
-            return self._preprocess_string(text)
-        raise TypeError(f'{self} input must be list or str, not {type(text)}')
+    def _clean_phonemes(self, text: str) -> str:
+        """Restore hyphens, drop out-of-inventory symbols, normalize spacing.
 
-    def _collapse_whitespace(self, text: str) -> str:
-        text = re.sub(self._whitespace_re, ' ', text)
-        return re.sub(self._whitespace_punctuation_re, r'\1', text)
-
-    def _postprocess_string(self, text: str) -> str:
+        Spacing rule: runs of whitespace become one space, and whitespace
+        touching a punctuation mark is absorbed into it (``a , b`` → ``a,b``).
+        """
         text = text.replace(self.special_hyphen, '-')
-        text = ''.join([c for c in text if c in all_phonemes])
-        text = self._collapse_whitespace(text)
+        text = ''.join(c for c in text if c in _KNOWN_SYMBOLS)
+        text = _WS_AROUND_PUNCT.sub(r'\1', _WS.sub(' ', text))
         return text.strip()
-
-    def _postprocess(self, text: Union[str, list]) -> Union[str, list]:
-        if isinstance(text, list):
-            return [self._postprocess_string(t) for t in text]
-        if isinstance(text, str):
-            return self._postprocess_string(text)
-        raise TypeError(f'{self} input must be list or str, not {type(text)}')

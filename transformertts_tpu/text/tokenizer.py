@@ -1,55 +1,68 @@
 """Character-level IPA tokenizer.
 
-Semantics match the reference tokenizer (data/text/tokenizer.py:9-48) exactly,
-since token-index assignment determines embedding rows in trained checkpoints:
+Index semantics match the reference tokenizer (data/text/tokenizer.py:9-48)
+exactly — token-index assignment determines embedding rows in trained
+checkpoints, so the *layout* below is a compatibility contract:
 
-- indices enumerate the sorted alphabet starting at 1; index 0 is padding.
-- optional start ``>`` / end ``<`` tokens occupy the next two indices.
-- optional "breathing" token ``@``: a space maps to *two* ids
-  (space id followed by the breathing id), and every encoded sentence is
-  prefixed with one breathing token.
+- id 0 is padding; ids 1..K enumerate the (sorted) alphabet in order;
+- optional start ``>`` / end ``<`` tokens take the next two ids;
+- optional "breathing" token ``@`` takes the id after those. A space encodes
+  to *two* ids (space then breathing), a literal ``@`` to the breathing id,
+  and every encoded sentence starts with one breathing id. Start/end wrap
+  the whole sequence last.
 """
-from typing import List
+from typing import Dict, List, Optional, Sequence
 
 from transformertts_tpu.text.symbols import all_phonemes
 
 
 class Tokenizer:
 
-    def __init__(self, start_token: str = '>', end_token: str = '<', pad_token: str = '/',
-                 add_start_end: bool = True, alphabet: list = None, model_breathing: bool = True):
-        if not alphabet:
-            self.alphabet = all_phonemes
-        else:
-            self.alphabet = sorted(list(set(alphabet)))  # for testing
-        self.idx_to_token = {i: s for i, s in enumerate(self.alphabet, start=1)}
-        self.idx_to_token[0] = pad_token
-        self.token_to_idx = {s: [i] for i, s in self.idx_to_token.items()}
-        self.vocab_size = len(self.alphabet) + 1
+    def __init__(self, start_token: str = '>', end_token: str = '<',
+                 pad_token: str = '/', add_start_end: bool = True,
+                 alphabet: Optional[Sequence[str]] = None,
+                 model_breathing: bool = True):
+        # custom alphabets (tests) are deduped + sorted; the default IPA
+        # inventory is used as-is — its order is checkpoint-stable
+        symbols = list(all_phonemes) if not alphabet else sorted(set(alphabet))
+        self.alphabet = symbols
         self.add_start_end = add_start_end
+        self.model_breathing = model_breathing
+
+        self.idx_to_token: Dict[int, str] = {0: pad_token}
+        self.idx_to_token.update({k + 1: s for k, s in enumerate(symbols)})
+        self._char_ids: Dict[str, int] = {s: k + 1 for k, s in enumerate(symbols)}
+        self._char_ids[pad_token] = 0  # pad char round-trips to id 0
+
+        next_id = len(symbols) + 1
         if add_start_end:
-            self.start_token_index = len(self.alphabet) + 1
-            self.end_token_index = len(self.alphabet) + 2
-            self.vocab_size += 2
+            self.start_token_index = next_id
+            self.end_token_index = next_id + 1
             self.idx_to_token[self.start_token_index] = start_token
             self.idx_to_token[self.end_token_index] = end_token
-        self.model_breathing = model_breathing
+            next_id += 2
         if model_breathing:
-            self.breathing_token_index = self.vocab_size
-            self.token_to_idx[' '] = self.token_to_idx[' '] + [self.breathing_token_index]
-            self.vocab_size += 1
             self.breathing_token = '@'
+            self.breathing_token_index = next_id
             self.idx_to_token[self.breathing_token_index] = self.breathing_token
-            self.token_to_idx[self.breathing_token] = [self.breathing_token_index]
+            next_id += 1
+        self.vocab_size = next_id
 
     def __call__(self, sentence: str) -> List[int]:
-        sequence = [self.token_to_idx[c] for c in sentence]  # input must only contain known chars
-        sequence = [item for items in sequence for item in items]
+        """Encode a phonemized sentence; every char must be in-alphabet."""
+        ids: List[int] = []
         if self.model_breathing:
-            sequence = [self.breathing_token_index] + sequence
+            ids.append(self.breathing_token_index)
+        for ch in sentence:
+            if self.model_breathing and ch == self.breathing_token:
+                ids.append(self.breathing_token_index)
+                continue
+            ids.append(self._char_ids[ch])
+            if self.model_breathing and ch == ' ':
+                ids.append(self.breathing_token_index)
         if self.add_start_end:
-            sequence = [self.start_token_index] + sequence + [self.end_token_index]
-        return sequence
+            ids = [self.start_token_index, *ids, self.end_token_index]
+        return ids
 
     def decode(self, sequence) -> str:
-        return ''.join([self.idx_to_token[int(t)] for t in sequence])
+        return ''.join(self.idx_to_token[int(t)] for t in sequence)
