@@ -69,8 +69,11 @@ def main(argv=None):
     if not args.skip_durations:
         model = cm.load_model(checkpoint_path=args.autoregressive_weights)
         assert model.r == 1, f'reduction factor must be 1, got {model.r}'
-        weighted = (not args.best) and config.get('extract_attention_weighted',
-                                                  False)
+        # reference semantics (extract_durations.py:31): weighted head
+        # average by default, best single head only with --best. (The
+        # extract_attention_weighted config key exists in the reference yaml
+        # but its CLI ignores it, so we do too.)
+        weighted = not args.best
 
         tokenizer = model.text_pipeline.tokenizer
         prep = AlignerPreprocessor.from_config(cm, tokenizer)
