@@ -59,10 +59,35 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a pytree of host arrays with batch-axis sharding."""
+    """Place a pytree of host arrays with batch-axis sharding.
+
+    Multi-host: each process passes its *local* batch slice and the global
+    array is assembled across processes (the TPU-native analogue of a
+    per-rank DataLoader + NCCL all-gather-free input pipeline).
+    """
     sharding = NamedSharding(mesh, P(DATA_AXIS))
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
+
+
+def maybe_initialize_distributed(config: dict) -> None:
+    """``jax.distributed.initialize()`` gated by the ``multihost`` config key.
+
+    Safe to call more than once and outside multi-host launches; coordinator
+    address/process ids come from the standard JAX env vars or the TPU
+    metadata server.
+    """
+    if not config.get('multihost', False):
+        return
+    try:
+        jax.distributed.initialize()
+    except RuntimeError as e:
+        if 'already' not in str(e).lower():
+            raise
 
 
 def shard_params(mesh: Mesh, params):

@@ -124,8 +124,26 @@ class TrainingConfigManager:
         return make_optimizer(self.config['learning_rate_schedule'],
                               global_clip_norm=global_clip_norm)
 
+    def get_mesh(self):
+        """Device mesh from the ``mesh: {data, model}`` config block.
+
+        This is the user-facing path to multi-device training: set
+        ``mesh: {data: 4, model: 2}`` (or data: -1 for "all remaining
+        devices") in aligner_settings/tts_settings and every train CLI runs
+        SPMD over it. ``multihost: true`` additionally brings up
+        jax.distributed before the mesh is built.
+        """
+        from transformertts_tpu.parallel import (MeshConfig, make_mesh,
+                                                 maybe_initialize_distributed)
+        maybe_initialize_distributed(self.config)
+        spec = self.config.get('mesh') or {}
+        return make_mesh(MeshConfig(data=int(spec.get('data', -1)),
+                                    model=int(spec.get('model', 1))))
+
     def get_trainer(self, model, mesh=None):
         tx = self.get_optimizer()
+        if mesh is None:
+            mesh = self.get_mesh()
         if self.model_kind == 'aligner':
             from transformertts_tpu.training.aligner_trainer import AlignerTrainer
             return AlignerTrainer(model, tx, mesh=mesh,
