@@ -148,3 +148,45 @@ def test_aligner_parity(reference_modules, tmp_path):
     my_attn = np.asarray(
         out['decoder_attention']['Decoder_LastBlock_CrossAttention'])
     np.testing.assert_allclose(my_attn, ref_attn_last.numpy(), atol=1e-5)
+
+
+def test_hdf5_export_loads_into_reference_tf(reference_modules, tmp_path):
+    """Two-way interop: a model trained here, exported with
+    save_model(weights_format='hdf5'), must be consumable by the reference's
+    TF ``load_weights`` (legacy layout) and produce the same forward outputs
+    (reference model/models.py:600-638)."""
+    from transformertts_tpu.models.forward_tts import ForwardTransformer
+    import jax
+
+    from transformertts_tpu.models.convert import write_legacy_h5
+    mine = ForwardTransformer(**FORWARD_CFG)
+    mine.init_params(jax.random.PRNGKey(11))
+    export = tmp_path / 'export'
+    mine.save_model(export, weights_format='hdf5')
+    # this TF is Keras 3, which does not track bare tf.Variables
+    # (pos_encoding_scalar/rate); the default export targets the published
+    # Keras-2 layout, so re-write without them for this consumer
+    write_legacy_h5(mine, export / 'model_weights.hdf5',
+                    include_bare_variables=False)
+
+    ref = reference_modules.ForwardTransformer(debug=True, **FORWARD_CFG)
+    rng = np.random.default_rng(2)
+    tokens = rng.integers(1, ref.text_pipeline.tokenizer.vocab_size,
+                          size=(1, 7), dtype=np.int32)
+    durs = rng.integers(1, 4, size=(1, 7, 1)).astype(np.float32)
+    pitch = rng.standard_normal((1, 7, 1)).astype(np.float32)
+    # build the TF variables, then overwrite them from our export
+    ref(tf.constant(tokens), tf.constant(durs),
+        target_pitch=tf.constant(pitch), training=False)
+    ref.load_weights(str(export / 'model_weights.hdf5'))
+
+    ref_out = ref(tf.constant(tokens), tf.constant(durs),
+                  target_pitch=tf.constant(pitch), training=False)
+    total = int(np.round(durs[0, :, 0]).sum())
+    out = mine.apply(mine.params, tokens, max_frames=total,
+                     target_durations=durs, target_pitch=pitch,
+                     deterministic=True)
+    ref_mel = ref_out['mel'].numpy()[0]
+    my_mel = np.asarray(out['mel'])[0][:ref_mel.shape[0]]
+    mae = np.mean(np.abs(ref_mel - my_mel))
+    assert mae < 1e-4, f'mel MAE {mae}'

@@ -341,7 +341,8 @@ class Aligner:
 
     # ----------------------------------------------------------- persistence
 
-    def save_model(self, path):
+    def save_model(self, path, weights_format: str = 'npz'):
+        """weights_format: 'npz', 'hdf5' (legacy Keras-2 interop), 'both'."""
         path = Path(path)
         path.mkdir(parents=True, exist_ok=True)
         config = dict(self.config)
@@ -354,7 +355,14 @@ class Aligner:
             pass
         with open(path / 'config.yaml', 'w') as f:
             yaml.safe_dump(config, f, allow_unicode=True)
-        np.savez(path / 'model_weights.npz', **flatten_params(self.params))
+        if weights_format in ('npz', 'both'):
+            np.savez(path / 'model_weights.npz',
+                     **flatten_params(self.params))
+        if weights_format in ('hdf5', 'both'):
+            from transformertts_tpu.models.convert import write_legacy_h5
+            write_legacy_h5(self, path / 'model_weights.hdf5')
+        if weights_format not in ('npz', 'hdf5', 'both'):
+            raise ValueError(f'unknown weights_format {weights_format!r}')
 
     @classmethod
     def load_model(cls, path) -> 'Aligner':
@@ -362,8 +370,16 @@ class Aligner:
         with open(path / 'config.yaml') as f:
             config = yaml.safe_load(f)
         model = cls.from_config(config)
-        with np.load(path / 'model_weights.npz') as data:
-            model.params = unflatten_params({k: data[k] for k in data.files})
+        npz = path / 'model_weights.npz'
+        if npz.exists():
+            with np.load(npz) as data:
+                model.params = unflatten_params(
+                    {k: data[k] for k in data.files})
+        else:  # hdf5-only dir (legacy export or a reference artifact)
+            from transformertts_tpu.models.convert import (
+                load_reference_weights_into)
+            h5s = sorted(path.glob('*.hdf5')) + sorted(path.glob('*.h5'))
+            load_reference_weights_into(model, h5s[0])
         model.step = int(config.get('step', 0))
         return model
 

@@ -290,20 +290,23 @@ def read_legacy_h5(path):
     Layout: top-level attrs ``layer_names`` (model.layers in creation order);
     each group's attrs ``weight_names`` lists its variables in
     trainable-then-non-trainable creation order. Returns
-    (groups, names) where groups[i] is the ordered list of arrays of layer i.
+    (groups, names, layer_names) where groups[i] is the ordered list of
+    arrays of layer i. Weight datasets may live under nested subgroups
+    (weight_names are slash-paths), so each name is resolved through h5py's
+    path access.
     """
     import h5py
-    groups, names = [], []
+    groups, names, layer_names = [], [], []
     with h5py.File(path, 'r') as f:
-        layer_names = [n.decode() if isinstance(n, bytes) else n
-                       for n in f.attrs['layer_names']]
-        for layer in layer_names:
+        for layer in f.attrs['layer_names']:
+            layer = layer.decode() if isinstance(layer, bytes) else layer
             g = f[layer]
             wnames = [n.decode() if isinstance(n, bytes) else n
                       for n in g.attrs.get('weight_names', [])]
             groups.append([np.asarray(g[n]) for n in wnames])
             names.append(wnames)
-    return groups, names
+            layer_names.append(layer)
+    return groups, names, layer_names
 
 
 def _skel_dense(prefix):
@@ -419,27 +422,218 @@ def aligner_legacy_skeleton(config: dict):
     ]
 
 
-def convert_legacy_weights(groups, skeleton, template_flat=None) -> dict:
-    """Zip ordered weight arrays onto pytree paths with shape verification.
+# --- name-aware matching helpers ------------------------------------------
+#
+# The legacy format's contract is creation order, but weight_names carry
+# three independent signals worth cross-checking (and exploiting when the
+# order-based mapping would silently mis-assign same-shaped tensors):
+#   1. the leaf kind (kernel/bias/gamma/beta/embeddings vs bare Variables),
+#   2. Keras auto-name uids (dense_17 < dense_18 ⇒ creation order), and
+#   3. block tags the reference passes explicitly (``Encoder_SADB_0``,
+#      ``Decoder_CADB_last`` — reference model/layers.py:287,291,397,402).
+
+_TENSOR_KINDS = ('kernel', 'bias', 'gamma', 'beta', 'embeddings')
+
+# component name prefixes the reference assigns explicitly at model build
+# (reference model/models.py:49-79,381-424) → our pytree roots
+_LAYER_CLASSES = [
+    ('embedding', 'encoder_prenet'), ('encoder', 'encoder'),
+    ('decoderprenet', 'decoder_prenet'), ('decoder', 'decoder'),
+    ('dur_pred', 'dur_pred'), ('pitch_pred', 'pitch_pred'),
+    ('finalproj', 'final_proj_mel'), ('postnet', 'decoder_postnet'),
+]
+
+
+def _kind_of_path(path: str) -> str:
+    leaf = path.rsplit('/', 1)[-1]
+    if leaf in ('kernel', 'bias', 'gamma', 'beta'):
+        return leaf
+    if leaf == 'table':
+        return 'embeddings'
+    return 'scalar'  # pos_encoding_scalar
+
+
+def _kind_of_name(name: str, arr) -> str:
+    leaf = name.split('/')[-1].split(':')[0]
+    base, _, suffix = leaf.rpartition('_')
+    if suffix.isdigit() and base in _TENSOR_KINDS:
+        leaf = base
+    if leaf in _TENSOR_KINDS:
+        return leaf
+    if np.ndim(arr) == 0 or np.shape(arr) in ((), (1,)):
+        return 'scalar'
+    return 'unknown'
+
+
+def _uid_tuple(name: str):
+    """Per-component numeric auto-name suffixes, e.g.
+    'Enc_SADB_1/multi_head_attention_3/dense_17/kernel:0' → (1, 3, 17)."""
+    out = []
+    for comp in name.split(':')[0].split('/'):
+        base, _, suffix = comp.rpartition('_')
+        out.append(int(suffix) if suffix.isdigit() else -1)
+    return tuple(out)
+
+
+def _base_pattern(name: str):
+    """Name with auto-number suffixes stripped — two names are only
+    uid-comparable when they live in structurally identical scopes."""
+    out = []
+    for comp in name.split(':')[0].split('/'):
+        base, _, suffix = comp.rpartition('_')
+        out.append(base if suffix.isdigit() else comp)
+    return tuple(out)
+
+
+def _block_tag(name: str):
+    """(kind, index) from an explicit reference block tag in a weight name."""
+    import re
+    m = re.search(r'_(SADB|SACB|CADB)_(\d+|last)', name)
+    if not m:
+        return None
+    idx = m.group(2)
+    return m.group(1), (None if idx == 'last' else int(idx))
+
+
+def _expected_block_tag(path: str):
+    import re
+    m = re.search(r'/(dense|conv|block)_(\d+)/', path)
+    if not m:
+        return None
+    return {'dense': 'SADB', 'conv': 'SACB', 'block': 'CADB'}[m.group(1)], \
+        int(m.group(2))
+
+
+def _classify_layer_name(layer_name: str):
+    """Explicit reference layer name → pytree root, or None if auto-named."""
+    n = layer_name.lower()
+    # exact-prefix match, longest first so 'decoderprenet' wins over 'decoder'
+    for key, root in sorted(_LAYER_CLASSES, key=lambda kv: -len(kv[0])):
+        if n == key or n.startswith(key + '_') or n == key.rstrip('_'):
+            return root
+    return None
+
+
+def _align_groups(groups, names, layer_names, skeleton):
+    """Pair checkpoint layer groups with skeleton groups.
+
+    Weightless entries (Expand, Dropout wrappers) are dropped from both
+    sides. Explicitly-named reference layers are matched by name — robust to
+    layer-order permutations; auto-named layers (pitch_embed/out Denses) take
+    the remaining skeleton slots in stored order.
+    """
+    names = names if names is not None else [[]] * len(groups)
+    layer_names = (layer_names if layer_names is not None
+                   else [''] * len(groups))
+    ckpt = [(g, n, l) for g, n, l in zip(groups, names, layer_names) if g]
+    skel = [[p for p in s if p != '__skip__'] for s in skeleton]
+    skel = [s for s in skel if s]
+    if len(ckpt) != len(skel):
+        raise ValueError(
+            f'layer-group count mismatch: checkpoint has {len(ckpt)} '
+            f'non-empty groups ({[l for _, _, l in ckpt]}), expected '
+            f'{len(skel)}')
+    root_to_slot = {}
+    for j, s in enumerate(skel):
+        root_to_slot.setdefault(s[0].split('/', 1)[0], j)
+    assigned = {}
+    unmatched = []
+    for i, (_, _, lname) in enumerate(ckpt):
+        root = _classify_layer_name(lname)
+        slot = root_to_slot.get(root) if root is not None else None
+        if slot is not None and slot not in assigned.values():
+            assigned[i] = slot
+        else:
+            unmatched.append(i)
+    free = [j for j in range(len(skel)) if j not in assigned.values()]
+    if len(free) != len(unmatched):
+        raise ValueError('could not align checkpoint layers to components: '
+                         f'{[ckpt[i][2] for i in unmatched]} vs slots {free}')
+    for i, j in zip(unmatched, free):
+        assigned[i] = j
+    return [(ckpt[i][0], ckpt[i][1], ckpt[i][2], skel[assigned[i]])
+            for i in range(len(ckpt))]
+
+
+def _match_group(arrays, wnames, layer_name, paths, template_flat):
+    """Assign a layer group's arrays to pytree paths.
+
+    Primary key: per-kind partition (kernels with kernels, scalars with
+    scalars) in stored order — immune to where non-trainable bare Variables
+    (DecoderPrenet.rate) land. Cross-checks: shape chain against the model
+    template, uid monotonicity within each kind, and explicit block tags.
+    Extra bare scalars beyond what the skeleton expects are Keras bookkeeping
+    Variables and are skipped.
+    """
+    have_names = bool(wnames) and len(wnames) == len(arrays)
+    wnames = wnames if have_names else [''] * len(arrays)
+    expected = {}   # kind -> [(path, shape)]
+    for p in paths:
+        shape = tuple(template_flat[p]) if (template_flat and
+                                            p in template_flat) else None
+        expected.setdefault(_kind_of_path(p), []).append((p, shape))
+    actual = {}     # kind -> [(name, arr)]
+    for nm, arr in zip(wnames, arrays):
+        kind = _kind_of_name(nm, arr) if have_names else 'unknown'
+        actual.setdefault(kind, []).append((nm, arr))
+
+    if 'unknown' in actual:
+        # uninformative names: fall back to pure stored-order zip
+        if len(arrays) < len(paths):
+            raise ValueError(
+                f'weight count mismatch in {layer_name!r}: checkpoint '
+                f'{len(arrays)} vs expected {len(paths)}')
+        return list(zip(paths, arrays[:len(paths)]))
+
+    out = []
+    for kind, exp in expected.items():
+        act = actual.pop(kind, [])
+        if len(act) != len(exp):
+            raise ValueError(
+                f'{layer_name!r}: expected {len(exp)} {kind} weights, '
+                f'checkpoint has {len(act)} '
+                f'({[n for n, _ in act][:4]}…)')
+        uids = [_uid_tuple(n) for n, _ in act]
+        bases = [_base_pattern(n) for n, _ in act]
+        for k in range(1, len(uids)):
+            if (bases[k] == bases[k - 1] and uids[k] != uids[k - 1]
+                    and max(uids[k]) >= 0 and uids[k] < uids[k - 1]):
+                raise ValueError(
+                    f'{layer_name!r}: {kind} weights stored out of creation '
+                    f'order ({act[k - 1][0]} then {act[k][0]}); refusing an '
+                    f'order-based mapping that would mis-assign them')
+        last_block = max((t[1] for t in map(_expected_block_tag, paths)
+                          if t is not None and t[0] == 'CADB'), default=None)
+        for (p, _), (nm, _) in zip(exp, act):
+            want, got = _expected_block_tag(p), _block_tag(nm)
+            if got is not None and got[1] is None:
+                got = (got[0], last_block)   # '_CADB_last' = highest index
+            if want is not None and got is not None and want != got:
+                raise ValueError(
+                    f'{layer_name!r}: weight {nm} carries block tag {got} '
+                    f'but maps to {p} (expected {want})')
+        out.extend((p, arr) for (p, _), (_, arr) in zip(exp, act))
+    leftover = {k: v for k, v in actual.items() if k != 'scalar' and v}
+    if leftover:
+        raise ValueError(f'{layer_name!r}: unconsumed weights {leftover}')
+    return out
+
+
+def convert_legacy_weights(groups, skeleton, template_flat=None, names=None,
+                           layer_names=None) -> dict:
+    """Ordered weight arrays → pytree, name-aware with shape verification.
 
     ``template_flat``: optional {path: shape} from an initialized model to
     verify every assignment (any ordering mistake breaks the shape chain).
+    ``names``/``layer_names``: the hdf5 weight_names / layer_names attrs —
+    used to classify layer groups, partition weights by kind, and detect
+    mis-orderings that shapes alone cannot (wq/wk/wv are interchangeable).
     """
-    if len(groups) != len(skeleton):
-        raise ValueError(f'layer-group count mismatch: checkpoint has '
-                         f'{len(groups)}, expected {len(skeleton)}')
     tree = {}
-    for g_arrays, g_paths in zip(groups, skeleton):
-        arrays = list(g_arrays)
-        paths = [p for p in g_paths]
-        n_real = len([p for p in paths if p != '__skip__'])
-        if len(arrays) != len(paths):
-            raise ValueError(f'weight count mismatch in group: checkpoint '
-                             f'{len(arrays)} vs expected {len(paths)} '
-                             f'({paths[:3]}…)')
-        for path, arr in zip(paths, arrays):
-            if path == '__skip__':
-                continue
+    for arrays, wnames, lname, paths in _align_groups(
+            groups, names, layer_names, skeleton):
+        for path, arr in _match_group(arrays, wnames, lname, paths,
+                                      template_flat):
             if template_flat is not None and path in template_flat:
                 want = tuple(template_flat[path])
                 got = tuple(np.shape(arr))
@@ -467,10 +661,72 @@ def load_legacy_weights_into(model, weights_path) -> None:
     from transformertts_tpu.models.forward_tts import ForwardTransformer
     template = model.init_params(jax.random.PRNGKey(0))
     template_flat = {k: v.shape for k, v in flatten_params(template).items()}
-    groups, names = read_legacy_h5(weights_path)
+    groups, names, layer_names = read_legacy_h5(weights_path)
     if isinstance(model, ForwardTransformer):
         skeleton = forward_legacy_skeleton(model.config)
     else:
         skeleton = aligner_legacy_skeleton(model.config)
-    params = convert_legacy_weights(groups, skeleton, template_flat)
+    params = convert_legacy_weights(groups, skeleton, template_flat,
+                                    names=names, layer_names=layer_names)
     model.params = jax.tree_util.tree_map(jnp.asarray, params)
+
+
+# ------------------------------------------------- legacy Keras-2 export
+
+FORWARD_LAYER_NAMES = ['Embedding', 'Encoder', 'dur_pred', 'expand',
+                       'pitch_pred', 'dense', 'Decoder', 'dense_1']
+ALIGNER_LAYER_NAMES = ['Embedding', 'Encoder', 'DecoderPrenet', 'Decoder',
+                       'FinalProj', 'Postnet']
+
+
+def write_legacy_h5(model, weights_path,
+                    include_bare_variables: bool = True) -> None:
+    """Export ``model.params`` as a legacy Keras-2 ``save_weights`` hdf5.
+
+    The inverse of :func:`load_legacy_weights_into`: layer groups follow the
+    reference's layer creation order (model/models.py:380-424 forward,
+    :53-79 aligner) with its explicit layer names, and per-group weight order
+    follows variable creation order — so the reference's TF ``load_weights``
+    (which zips legacy groups in order) can consume models trained here.
+    Bare Variables the reference tracks but we don't parameterize
+    (DecoderPrenet.rate) are materialized from config.
+
+    include_bare_variables: Keras 2 (the published artifacts) tracks bare
+    ``tf.Variable`` attributes (pos_encoding_scalar, DecoderPrenet.rate) in
+    layer.weights; Keras 3 does not. Pass False to target a Keras-3 TF
+    consumer (note its loaded model then keeps pos_encoding_scalar at its
+    init value of 1.0).
+    """
+    import h5py
+    from transformertts_tpu.utils.pytree import flatten_params
+    from transformertts_tpu.models.forward_tts import ForwardTransformer
+    flat = flatten_params(model.params)
+    if isinstance(model, ForwardTransformer):
+        skeleton = forward_legacy_skeleton(model.config)
+        layer_names = FORWARD_LAYER_NAMES
+    else:
+        skeleton = aligner_legacy_skeleton(model.config)
+        layer_names = ALIGNER_LAYER_NAMES
+    with h5py.File(weights_path, 'w') as f:
+        f.attrs['layer_names'] = [n.encode() for n in layer_names]
+        f.attrs['backend'] = b'tensorflow'
+        for lname, paths in zip(layer_names, skeleton):
+            g = f.create_group(lname)
+            wnames = []
+            for p in paths:
+                if not include_bare_variables and (
+                        p == '__skip__' or p.endswith('/pos_encoding_scalar')):
+                    continue
+                if p == '__skip__':   # DecoderPrenet.rate, non-trainable
+                    wname = f'{lname}/rate:0'
+                    arr = np.float32(model.config.get(
+                        'decoder_prenet_dropout', 0.5))
+                elif p.endswith('/table'):   # Keras Embedding variable name
+                    wname = f'{lname}/embeddings:0'
+                    arr = np.asarray(flat[p])
+                else:
+                    wname = f'{lname}/{p.split("/", 1)[-1]}:0'
+                    arr = np.asarray(flat[p])
+                g[wname] = arr
+                wnames.append(wname.encode())
+            g.attrs['weight_names'] = wnames

@@ -364,9 +364,13 @@ class ForwardTransformer:
 
     # ----------------------------------------------------------- persistence
 
-    def save_model(self, path):
-        """Self-describing checkpoint dir: config.yaml + model_weights.npz
-        (format parity with reference save_model, model/models.py:600-618)."""
+    def save_model(self, path, weights_format: str = 'npz'):
+        """Self-describing checkpoint dir: config.yaml + weights
+        (format parity with reference save_model, model/models.py:600-618).
+
+        weights_format: 'npz' (native), 'hdf5' (legacy Keras-2 layout the
+        reference TF code can ``load_weights`` — two-way interop), or 'both'.
+        """
         path = Path(path)
         path.mkdir(parents=True, exist_ok=True)
         config = dict(self.config)
@@ -379,8 +383,14 @@ class ForwardTransformer:
             pass
         with open(path / 'config.yaml', 'w') as f:
             yaml.safe_dump(config, f, allow_unicode=True)
-        flat = flatten_params(self.params)
-        np.savez(path / 'model_weights.npz', **flat)
+        if weights_format in ('npz', 'both'):
+            flat = flatten_params(self.params)
+            np.savez(path / 'model_weights.npz', **flat)
+        if weights_format in ('hdf5', 'both'):
+            from transformertts_tpu.models.convert import write_legacy_h5
+            write_legacy_h5(self, path / 'model_weights.hdf5')
+        if weights_format not in ('npz', 'hdf5', 'both'):
+            raise ValueError(f'unknown weights_format {weights_format!r}')
 
     @classmethod
     def load_model(cls, path: str) -> 'ForwardTransformer':
@@ -388,9 +398,16 @@ class ForwardTransformer:
         with open(path / 'config.yaml') as f:
             config = yaml.safe_load(f)
         model = cls.from_config(config)
-        with np.load(path / 'model_weights.npz') as data:
-            flat = {k: data[k] for k in data.files}
-        model.params = unflatten_params(flat)
+        npz = path / 'model_weights.npz'
+        if npz.exists():
+            with np.load(npz) as data:
+                flat = {k: data[k] for k in data.files}
+            model.params = unflatten_params(flat)
+        else:  # hdf5-only dir (our legacy export or a reference artifact)
+            from transformertts_tpu.models.convert import (
+                load_reference_weights_into)
+            h5s = sorted(path.glob('*.hdf5')) + sorted(path.glob('*.h5'))
+            load_reference_weights_into(model, h5s[0])
         model.step = int(config.get('step', 0))
         return model
 
