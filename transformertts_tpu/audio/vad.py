@@ -31,12 +31,32 @@ def _binary_dilation(mask: np.ndarray, width: int) -> np.ndarray:
     return conv > 0
 
 
+def adaptive_threshold_db(rms: np.ndarray, ref: float,
+                          fallback_db: float = -48.0) -> float:
+    """Bimodal energy threshold relative to the p95 level.
+
+    The noise floor is the 10th-percentile window RMS. When the floor sits
+    clearly below the speech level (>12 dB gap) the threshold is the
+    midpoint between the two, clamped to [-48, -12] dB — so noisy silences
+    (recording hiss well above -48 dBFS, which a fixed gate keeps) are still
+    trimmed. Without a clear gap (clip is all speech, or SNR too low for an
+    energy gate to separate safely) the conservative ``fallback_db`` gate
+    applies and only near-digital silence is removed.
+    """
+    floor_db = 20.0 * np.log10((np.percentile(rms, 10) + 1e-12) / ref)
+    if floor_db <= -12.0:
+        return float(np.clip(floor_db / 2.0, -48.0, -12.0))
+    return fallback_db
+
+
 def detect_voice_flags(wav: np.ndarray, sampling_rate: int,
                        window_ms: int, energy_threshold_db: float = -48.0) -> np.ndarray:
     """Per-window speech flags from adaptive log-energy.
 
-    A window is speech if its RMS is above ``energy_threshold_db`` relative
-    to the 95th-percentile window RMS (robust to overall level).
+    A window is speech if its RMS is above an adaptive threshold (see
+    :func:`adaptive_threshold_db`) relative to the 95th-percentile window
+    RMS (robust to overall level); ``energy_threshold_db`` is the fallback
+    gate when the clip has no clear silence mode.
     """
     samples_per_window = (window_ms * sampling_rate) // 1000
     n_windows = len(wav) // samples_per_window
@@ -46,7 +66,7 @@ def detect_voice_flags(wav: np.ndarray, sampling_rate: int,
     rms = np.sqrt(np.mean(frames ** 2, axis=-1) + 1e-12)
     ref = np.percentile(rms, 95) + 1e-12
     db = 20.0 * np.log10(rms / ref)
-    return db > energy_threshold_db
+    return db > adaptive_threshold_db(rms, ref, energy_threshold_db)
 
 
 def trim_long_silences(wav: np.ndarray, sampling_rate: int, window_ms: int,

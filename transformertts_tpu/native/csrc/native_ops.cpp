@@ -106,24 +106,29 @@ int vad_long_silence_mask(const float* wav, int64_t t, int sampling_rate,
         for (int s = 0; s < spw; ++s) acc += (double)p[s] * p[s];
         rms[w] = (float)std::sqrt(acc / spw + 1e-12);
     }
-    // 95th-percentile reference level
+    // percentiles with numpy's linear interpolation
     std::vector<float> sorted(rms);
     std::sort(sorted.begin(), sorted.end());
-    float ref = sorted[(size_t)std::min<double>(n_windows - 1,
-                                                0.95 * (n_windows - 1) + 0.5)]
-                + 1e-12f;
-    // numpy.percentile uses linear interpolation; match it
-    {
-        double pos = 0.95 * (n_windows - 1);
+    auto percentile = [&](double q) -> double {
+        double pos = q * (n_windows - 1);
         int lo = (int)pos;
         int hi = std::min(lo + 1, n_windows - 1);
         double frac = pos - lo;
-        ref = (float)((1.0 - frac) * sorted[lo] + frac * sorted[hi]) + 1e-12f;
-    }
+        return (1.0 - frac) * sorted[lo] + frac * sorted[hi];
+    };
+    float ref = (float)percentile(0.95) + 1e-12f;
+    // adaptive bimodal threshold (audio/vad.py::adaptive_threshold_db):
+    // midpoint between the p10 noise floor and the p95 speech level,
+    // clamped to [-48, -12] dB, when the floor is >12 dB below speech;
+    // otherwise the conservative fallback gate
+    float floor_db =
+        20.0f * std::log10((float)(percentile(0.10) + 1e-12) / ref);
+    float thr = energy_threshold_db;
+    if (floor_db <= -12.0f)
+        thr = std::min(-12.0f, std::max(-48.0f, floor_db / 2.0f));
     std::vector<float> flags(n_windows);
     for (int w = 0; w < n_windows; ++w)
-        flags[w] = (20.0f * std::log10(rms[w] / ref) > energy_threshold_db)
-                       ? 1.0f : 0.0f;
+        flags[w] = (20.0f * std::log10(rms[w] / ref) > thr) ? 1.0f : 0.0f;
 
     // centered moving average (matches vad.py::_moving_average padding)
     int width = moving_average_width;
