@@ -145,8 +145,10 @@ def aligner_convergence(steps=2500, report_every=500):
     aux = trainer.val_step(state, batch, r=1)
     attn = np.asarray(
         aux['decoder_attention']['Decoder_LastBlock_CrossAttention'])[:8]
+    # weighted=True is the CLI default (extract_durations.py, reference
+    # semantics); convergence must hold under it
     durations, _, jump, peak, diag = get_durations_from_alignment(
-        attn, batch['mel'][:8], batch['tokens'][:8])
+        attn, batch['mel'][:8], batch['tokens'][:8], weighted=True)
     errs = []
     for i in range(8):
         true_d = samples[i][1]
