@@ -13,7 +13,7 @@ from transformertts_tpu.utils.scripts_utils import enable_compilation_cache
 from transformertts_tpu.audio import Audio
 from transformertts_tpu.models import ForwardTransformer
 
-if __name__ == '__main__':
+def main(argv=None):
     parser = ArgumentParser()
     parser.add_argument('--path', '-p', dest='path', default=None, type=str)
     parser.add_argument('--step', dest='step', default='95000', type=str)
@@ -25,7 +25,7 @@ if __name__ == '__main__':
     parser.add_argument('--single', '-s', dest='single', action='store_true')
     parser.add_argument('--per_line', dest='per_line', action='store_true',
                         help='disable batched synthesis (one device call per line)')
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
     enable_compilation_cache()
 
     if args.file is not None:
@@ -78,3 +78,7 @@ if __name__ == '__main__':
             if args.single:
                 audio.save_wav(wav, (outdir / (file_name + f'_{i}')).with_suffix('.wav'))
     audio.save_wav(np.concatenate(wavs), output_path)
+
+
+if __name__ == '__main__':
+    main()

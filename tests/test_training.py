@@ -92,3 +92,37 @@ def test_batch_padding_to_mesh_multiple(tiny_model):
     np.testing.assert_allclose(float(aux_rag['loss']),
                                float(trainer.val_step(state, only5)['loss']),
                                rtol=1e-6)
+
+
+def test_log_duration_histograms_batched_rows():
+    """fname_durs holds BATCHED (B, N) arrays; the histogram logger must
+    iterate per-sample rows (regression: it compared whole rows to 0 and
+    the @ignore_exception wrapper swallowed the ValueError silently)."""
+    import numpy as np
+    import train_tts
+
+    class _Tok:
+        idx_to_token = {1: 'a', 2: 'b', 3: ' '}
+
+    class _Pipe:
+        tokenizer = _Tok()
+
+    class _Model:
+        text_pipeline = _Pipe()
+
+    calls = []
+
+    class _SM:
+        def add_histogram(self, tag, values, step):
+            calls.append((tag, np.asarray(values), step))
+
+    fname_durs = [(np.asarray([[1, 2, 0], [3, 1, 0]]),
+                   np.asarray([[2., 3., 0.], [1., 2., 0.]]),
+                   np.asarray([[2.2, 2.8, 0.], [1.1, 2.1, 0.]]))]
+    train_tts.log_duration_histograms(_Model(), fname_durs, _SM(), step=5)
+    tags = {t for t, _, _ in calls}
+    assert 'DurationsTarget/a' in tags and 'DurationsPredicted/a' in tags
+    a_target = [v for t, v, _ in calls if t == 'DurationsTarget/a'][0]
+    np.testing.assert_allclose(sorted(a_target), [2.0, 2.0])
+    b_target = [v for t, v, _ in calls if t == 'DurationsTarget/b'][0]
+    np.testing.assert_allclose(b_target, [3.0])

@@ -67,7 +67,10 @@ def log_duration_histograms(model, fname_durs, summary_manager, step):
     """Target vs predicted durations per phoneme symbol
     (reference train_tts.py:19-41)."""
     per_symbol_t, per_symbol_p = {}, {}
-    for tokens, tgt, pred in fname_durs:
+    rows = ((tokens, tgt, pred)
+            for tokens_b, tgt_b, pred_b in fname_durs
+            for tokens, tgt, pred in zip(tokens_b, tgt_b, pred_b))
+    for tokens, tgt, pred in rows:
         for tok, t, p in zip(tokens, tgt, pred):
             if tok == 0:
                 continue
