@@ -76,14 +76,16 @@ def main():
         1, model.text_pipeline.tokenizer.vocab_size,
         size=(batch, n_tok), dtype=np.int32))
 
-    # warmup/compile
-    synth_jit(params, tokens).block_until_ready()
+    # warmup/compile. NOTE: through the remote-dispatch tunnel
+    # block_until_ready does NOT synchronize with execution; a value fetch
+    # does, so every timing below syncs by fetching a scalar.
+    float(jnp.sum(synth_jit(params, tokens)))
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         mel = synth_jit(params, tokens)
-    mel.block_until_ready()
+    float(jnp.sum(mel))   # sync: scalar fetch
     dt = time.perf_counter() - t0
 
     frames = batch * n_frames * iters
