@@ -111,8 +111,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
     enable_compilation_cache()
 
-    # model kind irrelevant for stage 1; tts section has no schedules needed
-    cm = TrainingConfigManager(args.config, aligner=False)
+    # aligner kind, matching the reference CLI (create_training_data.py:26):
+    # a data-prep config therefore only needs the aligner settings section.
+    cm = TrainingConfigManager(args.config, aligner=True)
     cm.create_remove_dirs(assume_yes=True)
     config = cm.config
     audio = Audio.from_config(config)

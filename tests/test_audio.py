@@ -223,3 +223,49 @@ def test_griffin_lim_beats_prose_claim():
     mel_rt = np.mean(np.abs(R @ fb.T - mel_amp)) / np.mean(mel_amp)
     assert sc < 0.3, sc
     assert mel_rt < 0.2, mel_rt
+
+
+def test_wavernn_audio_regime():
+    """The WaveRNN data regime (config/data_config_wavernn.yaml, ported from
+    the reference's flat-format file): 2048-point FFT at hop 275 / win 1100,
+    f_min 40 / f_max null (Nyquist), WaveRNN dB normalization."""
+    torch = pytest.importorskip('torch')
+    sr, n_fft, hop, win, mels = 22050, 2048, 275, 1100, 80
+    y = _tone(dur=0.4)
+    # STFT parity vs torch at win < n_fft (centered zero-padded window)
+    D_np = spectral.stft_np(y, n_fft, hop, win)
+    t_D = torch.stft(torch.from_numpy(y), n_fft=n_fft, hop_length=hop,
+                     win_length=win, window=torch.hann_window(win, periodic=True),
+                     center=True, pad_mode='reflect', return_complex=True)
+    np.testing.assert_allclose(np.abs(D_np), np.abs(t_D.numpy().T), atol=1e-3)
+    # f_max=None spans to Nyquist: top filter has support near the last bin
+    fb = spectral.mel_filterbank(sr, n_fft, mels, 40, None)
+    assert fb[:, -10:].sum() > 0
+    assert fb[:, :int(40 / (sr / 2) * (n_fft // 2)) - 1].sum() == 0
+    # full Audio path with the WaveRNN normalizer round-trips
+    audio = Audio(sampling_rate=sr, n_fft=n_fft, mel_channels=mels,
+                  hop_length=hop, win_length=win, f_min=40, f_max=None,
+                  normalizer='WaveRNN')
+    mel = audio.mel_spectrogram(y)
+    assert mel.shape == (1 + len(y) // hop, mels)
+    assert np.isfinite(mel).all() and np.abs(mel).max() <= 4.0 + 1e-6
+    wav = audio.reconstruct_waveform(mel, n_iter=4)
+    assert len(wav) > 0 and np.isfinite(wav).all()
+
+
+def test_wavernn_data_config_loads():
+    """config/data_config_wavernn.yaml parses for both model kinds and keys
+    the artifact dirs by the WaveRNN session names."""
+    from pathlib import Path
+    from transformertts_tpu.utils.config import TrainingConfigManager
+    cfg = Path(__file__).parent.parent / 'config/data_config_wavernn.yaml'
+    for aligner in (True, False):
+        cm = TrainingConfigManager(cfg, aligner=aligner)
+        assert cm.config['n_fft'] == 2048
+        assert cm.config['hop_length'] == 275
+        assert cm.config['f_max'] is None
+        assert cm.config['normalizer'] == 'WaveRNN'
+        assert cm.config['model_breathing'] is False
+        assert 'WaveRNN_default' in str(cm.mel_dir)
+        audio = Audio.from_config(cm.config)
+        assert audio.normalizer.__class__.__name__ == 'WaveRNN'
