@@ -25,6 +25,10 @@ def main(argv=None):
     parser.add_argument('--single', '-s', dest='single', action='store_true')
     parser.add_argument('--per_line', dest='per_line', action='store_true',
                         help='disable batched synthesis (one device call per line)')
+    parser.add_argument('--vocoder', dest='vocoder', default=None, type=str,
+                        help='path to a MelGAN torch checkpoint (seungwonpark/melgan '
+                             'family); synthesizes with the neural vocoder on device '
+                             'instead of Griffin-Lim')
     args = parser.parse_args(argv)
     enable_compilation_cache()
 
@@ -51,12 +55,18 @@ def main(argv=None):
     outdir.mkdir(exist_ok=True, parents=True)
     output_path = (outdir / file_name).with_suffix('.wav')
     audio = Audio.from_config(model.config)
+    vocoder = None
+    if args.vocoder is not None:
+        from transformertts_tpu.models.melgan import MelGANVocoder
+        print(f'Loading MelGAN vocoder from {args.vocoder}')
+        vocoder = MelGANVocoder.from_torch_checkpoint(
+            args.vocoder, mel_channels=model.config['mel_channels'])
     print(f'Output wav under {output_path.parent}')
     lines = [l for l in text if l.strip()]
     if not args.per_line and not args.store_mel and len(lines) > 1:
         # batched serving path: bucketed device batches + vmapped Griffin-Lim
         from transformertts_tpu.models.synthesis import synthesize_lines
-        wavs = synthesize_lines(model, audio, lines)
+        wavs = synthesize_lines(model, audio, lines, vocoder=vocoder)
         for i, wav in enumerate(wavs):
             if args.single:
                 audio.save_wav(wav, (outdir / (file_name + f'_{i}')).with_suffix('.wav'))
@@ -71,7 +81,10 @@ def main(argv=None):
                 print(f'Tokens: "{tokens}"')
             out = model.predict(tokens, encode=False)
             mel = out['mel'].T
-            wav = audio.reconstruct_waveform(mel)
+            if vocoder is not None:
+                wav = vocoder.inference(np.asarray(mel))
+            else:
+                wav = audio.reconstruct_waveform(mel)
             wavs.append(wav)
             if args.store_mel:
                 np.save(str((outdir / (file_name + f'_{i}')).with_suffix('.mel')), out['mel'])

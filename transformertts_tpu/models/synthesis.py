@@ -23,8 +23,12 @@ def _round_up(x, m):
 
 def synthesize_lines(model, audio, lines: Sequence[str],
                      speed_regulator: float = 1.0, n_iter: int = None,
-                     max_batch: int = 32) -> List[np.ndarray]:
-    """Synthesize many sentences; returns wavs in input order."""
+                     max_batch: int = 32, vocoder=None) -> List[np.ndarray]:
+    """Synthesize many sentences; returns wavs in input order.
+
+    ``vocoder``: optional neural vocoder (models/melgan.MelGANVocoder);
+    when given, waveforms come from one batched vocoder call per bucket
+    instead of Griffin-Lim."""
     entries = []   # (orig_idx, tokens)
     for i, line in enumerate(lines):
         tokens = model.encode_text(line)
@@ -56,9 +60,14 @@ def synthesize_lines(model, audio, lines: Sequence[str],
                 model.params, features, pitch, durations,
                 jnp.asarray(ones * np.float32(1e9)), jnp.asarray(ones * 0.0),
                 jnp.asarray(scalar), keep, frames)
-            wav_batch = audio.reconstruct_waveform_batch(mel, n_iter=n_iter)
+            if vocoder is not None:
+                wav_batch = vocoder.apply(vocoder.params, mel)
+                hop = vocoder.hop_length
+            else:
+                wav_batch = audio.reconstruct_waveform_batch(mel, n_iter=n_iter)
+                hop = audio.hop_length
             for row, (orig_idx, _) in enumerate(chunk):
                 n_frames = int(totals[row]) - 1
-                n_samples = n_frames * audio.hop_length
+                n_samples = n_frames * hop
                 wavs[orig_idx] = np.asarray(wav_batch[row][:n_samples])
     return wavs
