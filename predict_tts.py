@@ -26,9 +26,9 @@ def main(argv=None):
     parser.add_argument('--per_line', dest='per_line', action='store_true',
                         help='disable batched synthesis (one device call per line)')
     parser.add_argument('--vocoder', dest='vocoder', default=None, type=str,
-                        help='path to a MelGAN torch checkpoint (seungwonpark/melgan '
-                             'family); synthesizes with the neural vocoder on device '
-                             'instead of Griffin-Lim')
+                        help='path to a MelGAN (seungwonpark/melgan) or HiFi-GAN '
+                             '(jik876/hifi-gan) torch checkpoint; synthesizes with '
+                             'the neural vocoder on device instead of Griffin-Lim')
     args = parser.parse_args(argv)
     enable_compilation_cache()
 
@@ -57,10 +57,11 @@ def main(argv=None):
     audio = Audio.from_config(model.config)
     vocoder = None
     if args.vocoder is not None:
-        from transformertts_tpu.models.melgan import MelGANVocoder
-        print(f'Loading MelGAN vocoder from {args.vocoder}')
-        vocoder = MelGANVocoder.from_torch_checkpoint(
-            args.vocoder, mel_channels=model.config['mel_channels'])
+        from transformertts_tpu.models.vocoder import load_vocoder
+        print(f'Loading vocoder from {args.vocoder}')
+        vocoder = load_vocoder(args.vocoder,
+                               mel_channels=model.config['mel_channels'])
+        print(f'Vocoder: {type(vocoder).__name__}')
     print(f'Output wav under {output_path.parent}')
     lines = [l for l in text if l.strip()]
     if not args.per_line and not args.store_mel and len(lines) > 1:

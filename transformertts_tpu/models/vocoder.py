@@ -1,0 +1,38 @@
+"""Vocoder checkpoint loader: auto-detects the torch checkpoint family.
+
+The reference's pretrained models are advertised as compatible with both
+MelGAN (seungwonpark/melgan) and HiFi-GAN (jik876/hifi-gan)
+(`/root/reference/README.md:19-22`); ``load_vocoder`` accepts either
+family's checkpoint file and returns the matching TPU generator
+(models/melgan.py or models/hifigan.py). HiFi-GAN topology is read from a
+``config.json`` sitting next to the checkpoint when present (the jik876
+release layout), else the v1 defaults apply.
+"""
+import json
+from pathlib import Path
+
+
+def load_vocoder(path, mel_channels: int = 80):
+    """Load a MelGAN or HiFi-GAN torch checkpoint as a TPU generator."""
+    import torch
+    from transformertts_tpu.models.melgan import MelGANVocoder
+    from transformertts_tpu.models.hifigan import HiFiGANVocoder
+
+    blob = torch.load(path, map_location='cpu', weights_only=False)
+    if hasattr(blob, 'state_dict'):
+        blob = blob.state_dict()
+    if isinstance(blob, dict) and 'model_g' in blob:     # MelGAN trainer ckpt
+        blob = blob['model_g']
+    if isinstance(blob, dict) and 'generator' in blob and \
+            hasattr(blob['generator'], 'keys'):          # HiFi-GAN trainer ckpt
+        blob = blob['generator']
+    sd = {k: v.numpy() for k, v in blob.items()}
+
+    if any(k.startswith('conv_pre.') for k in sd):
+        cfg_path = Path(path).parent / 'config.json'
+        config = None
+        if cfg_path.exists():
+            config = json.loads(cfg_path.read_text())
+        return HiFiGANVocoder.from_torch_state_dict(
+            sd, config=config, mel_channels=mel_channels)
+    return MelGANVocoder.from_torch_state_dict(sd, mel_channels=mel_channels)
