@@ -1,0 +1,119 @@
+"""Measure ForwardTransformer training step time + achieved FLOP/s on the
+attached chip, at the published LJSpeech model scale, across representative
+length buckets.
+
+Prints one line per bucket: step wall time (post-warmup, synced by scalar
+fetch — block_until_ready does not synchronize through the remote tunnel),
+the XLA cost-analysis FLOPs of the compiled step, and the achieved TFLOP/s
+(divide by your chip's peak for MFU). Run on the real TPU:
+
+    python scripts/measure_train_step.py [--iters 20]
+"""
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def build():
+    from transformertts_tpu.models.forward_tts import ForwardTransformer
+    from transformertts_tpu.training import ForwardTrainer, make_optimizer
+    import jax
+    model = ForwardTransformer(
+        encoder_model_dimension=384, decoder_model_dimension=384,
+        dropout_rate=0.1, decoder_num_heads=[2] * 6, encoder_num_heads=[2] * 6,
+        encoder_max_position_encoding=2000,
+        decoder_max_position_encoding=10000,
+        encoder_dense_blocks=0, decoder_dense_blocks=0,
+        duration_conv_filters=[256, 226], pitch_conv_filters=[256, 226],
+        duration_kernel_size=3, pitch_kernel_size=3, predictors_dropout=0.1,
+        mel_channels=80, phoneme_language='en-us', with_stress=False,
+        model_breathing=True,
+        encoder_attention_conv_filters=[1536, 384],
+        decoder_attention_conv_filters=[1536, 384],
+        encoder_attention_conv_kernel=3, decoder_attention_conv_kernel=3,
+        compute_dtype='bfloat16')
+    tx = make_optimizer([(0.0, 1e-4), (1000.0, 1e-4)])
+    trainer = ForwardTrainer(model, tx)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    return model, trainer, state
+
+
+def make_batch(model, b, n_tok, n_frames, rng):
+    tokens = np.zeros((b, n_tok), np.int32)
+    durations = np.zeros((b, n_tok), np.float32)
+    n_used = max(4, int(n_tok * 0.9))
+    tokens[:, :n_used] = rng.integers(
+        1, model.text_pipeline.tokenizer.vocab_size, size=(b, n_used))
+    per = n_frames // n_used
+    durations[:, :n_used] = per
+    durations[:, n_used - 1] += n_frames - per * n_used
+    mel = rng.standard_normal((b, n_frames, 80)).astype(np.float32)
+    pitch = rng.standard_normal((b, n_tok)).astype(np.float32)
+    return {'tokens': tokens, 'mel': mel,
+            'durations': durations, 'pitch': pitch}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--iters', type=int, default=20)
+    ap.add_argument('--bucket', type=int, default=None,
+                    help='measure only this bucket index (one shape per '
+                         'process gives the cleanest timing — compiling '
+                         'several shapes in one process degrades later '
+                         'measurements on remote-dispatch backends)')
+    args = ap.parse_args()
+    from transformertts_tpu.utils.scripts_utils import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    model, trainer, state = build()
+    rng = np.random.default_rng(0)
+    # (bucket frames, batch) pairs from the published bucket config
+    # (config/training_config.yaml bucket_boundaries / bucket_batch_sizes)
+    buckets = [(256, 64, 48), (512, 32, 96), (896, 16, 160)]
+    if args.bucket is not None:
+        buckets = [buckets[args.bucket]]
+    print(f'{"bucket":>22} {"device ms":>10} {"host-fed ms":>12} '
+          f'{"GFLOP/step":>11} {"TFLOP/s":>8} {"frames/s":>10}')
+    for n_frames, b, n_tok in buckets:
+        batch = make_batch(model, b, n_tok, n_frames, rng)
+        dbatch = trainer.shard_batch(batch)  # device-resident copy
+        # warmup/compile (NOTE: train_step donates its input state — never
+        # reuse a state that has been passed in; always chain the returns)
+        s, aux = trainer.train_step(state, dbatch)
+        state = s
+        float(aux['loss'])  # sync
+        # (a) device compute: batch pre-staged, back-to-back chained steps
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            s, aux = trainer.train_step(s, dbatch)
+        float(aux['loss'])  # sync by scalar fetch
+        dt_dev = (time.perf_counter() - t0) / args.iters
+        # (b) end-to-end with a fresh host numpy batch fed every step (what
+        # a real training loop pays; through a remote tunnel this is
+        # transfer-dominated and noisy)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            s, aux = trainer.train_step(s, batch)
+        float(aux['loss'])
+        dt_host = (time.perf_counter() - t0) / args.iters
+        state = s
+        # cost analysis AFTER timing: .lower().compile() issues heavy
+        # synchronous compile RPCs that would otherwise pollute the loop
+        ca = trainer._train_step.lower(s, dbatch).compile().cost_analysis()
+        flops = (ca or {}).get('flops', float('nan'))
+        tfps = flops / dt_dev / 1e12
+        print(f'B{b:>3} x {n_frames:>4}f x {n_tok:>3}t '
+              f'{dt_dev * 1e3:10.1f} {dt_host * 1e3:12.1f} '
+              f'{flops / 1e9:11.1f} {tfps:8.1f} '
+              f'{b * n_frames / dt_dev:10.0f}')
+
+
+if __name__ == '__main__':
+    main()

@@ -95,10 +95,23 @@ class AlignerTrainer:
             params = self.model.init_params(key if key is not None
                                             else jax.random.PRNGKey(0))
         state = init_state(params, self.tx, step)
+        if self.mesh.devices.size == 1:  # trivial mesh: plain placement
+            dev = self.mesh.devices.flat[0]
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, dev), state)
         return jax.tree_util.tree_map(
             jax.device_put, state, self.state_shardings(state))
 
     def _build_steps(self, state: TrainState):
+        # Single-device mesh: plain jit — explicit NamedSharding in_shardings
+        # cost ~3x per call on remote-dispatch backends (see ForwardTrainer).
+        if self.mesh.devices.size == 1:
+            self._train_step = jax.jit(self._train_step_impl,
+                                       static_argnums=(2, 3, 4, 5),
+                                       donate_argnums=(0,))
+            self._val_step = jax.jit(self._val_step_impl,
+                                     static_argnums=(2, 3, 4))
+            return
         state_sh = self.state_shardings(state)
         data = NamedSharding(self.mesh, P(mesh_lib.DATA_AXIS))
         # static args are positional: pjit rejects kwargs when in_shardings

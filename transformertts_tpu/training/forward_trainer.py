@@ -86,10 +86,23 @@ class ForwardTrainer:
             params = self.model.init_params(key if key is not None
                                             else jax.random.PRNGKey(0))
         state = init_state(params, self.tx, step)
+        if self.mesh.devices.size == 1:  # trivial mesh: plain placement
+            dev = self.mesh.devices.flat[0]
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, dev), state)
         return jax.tree_util.tree_map(
             jax.device_put, state, self.state_shardings(state))
 
     def _build_steps(self, state: TrainState):
+        # Single-device mesh: plain jit. Explicit NamedSharding in_shardings
+        # compile to an SPMD executable whose per-call overhead is ~3x the
+        # step itself on remote-dispatch backends (measured 130 ms vs 43 ms
+        # at the published scale) and buys nothing without a second device.
+        if self.mesh.devices.size == 1:
+            self._train_step = jax.jit(self._train_step_impl,
+                                       donate_argnums=(0,))
+            self._val_step = jax.jit(self._val_step_impl)
+            return
         state_sh = self.state_shardings(state)
         data = NamedSharding(self.mesh, P(mesh_lib.DATA_AXIS))
         self._train_step = jax.jit(
