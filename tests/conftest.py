@@ -15,3 +15,13 @@ if 'xla_force_host_platform_device_count' not in flags:
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+
+# Persistent XLA compile cache: the suite is compile-bound (single-core CI
+# hosts); repeat runs skip every unchanged executable. Subprocess-spawning
+# tests (multihost, graft-entry) inherit it via the env var.
+from transformertts_tpu.utils.scripts_utils import enable_compilation_cache  # noqa: E402
+
+_cache_dir = os.environ.setdefault(
+    'JAX_COMPILATION_CACHE_DIR',
+    os.path.expanduser('~/.cache/tts_tpu_xla_tests'))
+enable_compilation_cache(_cache_dir)
