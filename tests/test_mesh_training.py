@@ -133,3 +133,38 @@ def test_train_tts_cli_over_mesh_and_resume(mesh_run):
     train_tts.main(['--config', str(cfg2), '--yes'])
     restored2 = checkpointing.restore_latest(cm.weights_dir, state)
     assert int(restored2.step) > int(restored.step)
+
+
+def test_shard_batch_passes_through_placed_arrays():
+    """Regression: re-sharding an already-placed batch must not copy.
+    device_put is not a no-op on remote-dispatch backends (a committed
+    5 MB batch round-tripped host<->device every step, 3-100x the step
+    itself), so correctly-placed leaves pass through by identity."""
+    from transformertts_tpu.parallel import mesh as mesh_lib
+    # trivial 1-device mesh
+    mesh1 = mesh_lib.make_mesh(mesh_lib.MeshConfig(data=1, model=1),
+                               devices=jax.devices()[:1])
+    batch = {'mel': np.zeros((4, 8, 3), np.float32),
+             'tokens': np.zeros((4, 8), np.int32)}
+    placed = mesh_lib.shard_batch(mesh1, batch)
+    again = mesh_lib.shard_batch(mesh1, placed)
+    assert all(again[k] is placed[k] for k in placed)
+    # multi-device data sharding
+    mesh8 = mesh_lib.make_mesh()
+    placed8 = mesh_lib.shard_batch(
+        mesh8, mesh_lib.pad_batch_to_multiple(
+            batch, mesh8.shape[mesh_lib.DATA_AXIS]))
+    again8 = mesh_lib.shard_batch(mesh8, placed8)
+    assert all(again8[k] is placed8[k] for k in placed8)
+
+
+def test_pad_batch_no_copy_when_aligned():
+    """pad_batch_to_multiple must not materialize (np.asarray) leaves when
+    no padding is needed — that is a synchronous device fetch."""
+    from transformertts_tpu.parallel import mesh as mesh_lib
+    dev_arr = jax.device_put(np.zeros((8, 3), np.float32))
+    out = mesh_lib.pad_batch_to_multiple({'x': dev_arr}, 4)
+    assert out['x'] is dev_arr
+    padded = mesh_lib.pad_batch_to_multiple({'x': dev_arr}, 5)
+    assert isinstance(padded['x'], np.ndarray)
+    assert padded['x'].shape == (10, 3)
