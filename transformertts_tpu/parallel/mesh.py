@@ -19,6 +19,7 @@ Design:
 - Batches are placed with ``jax.device_put`` + NamedSharding before the step,
   so host→device transfer happens once per step per host.
 """
+import warnings
 from dataclasses import dataclass
 from typing import Optional
 
@@ -114,33 +115,57 @@ def shard_params(mesh: Mesh, params):
         lambda x: jax.device_put(x, sharding), params)
 
 
-def tp_param_specs(params, mesh: Mesh):
+# Megatron-style tensor-parallel pairs, keyed by parameter PATH (the model's
+# own module names), not by tensor shape. Each pair is (column-parallel
+# module, row-parallel module): the first GEMM's output dim shards over the
+# 'model' axis, the second GEMM's input dim shards, and XLA inserts one
+# all-reduce after the pair. These are the only wide hidden dims in the
+# model family — the attention-conv filters (1536 at the published TTS
+# scale, nn/blocks.py CNNResNorm inside Self/CrossAttentionConvBlock) and
+# the FFN hidden (nn/blocks.py FFNResNorm).
+TP_COLUMN_MODULES = ('conv/conv_0', 'ffn/d1')
+TP_ROW_MODULES = ('conv/conv_1', 'ffn/d2')
+
+
+def tp_param_specs(params, mesh: Mesh,
+                   column_modules=TP_COLUMN_MODULES,
+                   row_modules=TP_ROW_MODULES):
     """Tensor-parallel PartitionSpecs for a parameter pytree.
 
-    Shards the wide inner dimensions over the 'model' axis — the
-    attention-conv hidden filters (1536 at the published TTS scale) and the
-    FFN hidden — so their GEMMs split across chips and XLA inserts the
-    all-reduces. Everything else stays replicated. Heuristic is shape-based:
-    a kernel whose output dim is a multiple of (model_size · 128) gets its
-    output sharded, and the *following* layer's kernel (matching input dim)
-    gets its input sharded, which XLA recognises as a megatron-style
-    pair (no resharding between the two GEMMs).
+    Rule-table based: a kernel shards iff its module path ends with a name
+    in ``column_modules`` (output dim over 'model', bias likewise) or
+    ``row_modules`` (input dim over 'model', bias replicated — the partial
+    sums all-reduce before the bias adds). Paths are matched, never shapes,
+    so same-shaped unrelated tensors can never be sharded by accident; a
+    matched dim that does not divide the model axis stays replicated (with
+    a warning) rather than failing. Pass custom module lists to extend the
+    table for new layer types.
     """
     model_size = mesh.shape[MODEL_AXIS]
     if model_size <= 1:
         return jax.tree_util.tree_map(lambda _: P(), params)
 
     def leaf_spec(path, leaf):
-        names = [getattr(p, 'key', getattr(p, 'name', '')) for p in path]
+        names = [str(getattr(p, 'key', getattr(p, 'name', ''))) for p in path]
         leaf_name = names[-1] if names else ''
+        module = '/'.join(names[:-1])
         shape = getattr(leaf, 'shape', ())
-        wide = lambda d: d % (model_size * 128) == 0 and d >= 512
+        is_col = module.endswith(column_modules)
+        is_row = module.endswith(row_modules)
+        if not (is_col or is_row):
+            return P()
         if leaf_name == 'kernel' and len(shape) >= 2:
-            if wide(shape[-1]) and not wide(shape[-2]):
+            dim = shape[-1] if is_col else shape[-2]
+            if dim % model_size != 0:
+                warnings.warn(
+                    f'TP: {module}/kernel dim {dim} does not divide model '
+                    f'axis {model_size}; replicating')
+                return P()
+            if is_col:
                 return P(*([None] * (len(shape) - 1)), MODEL_AXIS)
-            if wide(shape[-2]) and not wide(shape[-1]):
-                return P(*([None] * (len(shape) - 2)), MODEL_AXIS, None)
-        if leaf_name == 'bias' and len(shape) == 1 and wide(shape[0]):
+            return P(*([None] * (len(shape) - 2)), MODEL_AXIS, None)
+        if leaf_name == 'bias' and is_col and len(shape) == 1 \
+                and shape[0] % model_size == 0:
             return P(MODEL_AXIS)
         return P()
 
