@@ -19,6 +19,28 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 
+def build_aligner():
+    """Published-scale Aligner (config/training_config.yaml aligner_settings)."""
+    from transformertts_tpu.models.aligner import Aligner
+    from transformertts_tpu.training import AlignerTrainer, make_optimizer
+    import jax
+    model = Aligner(
+        encoder_model_dimension=256, decoder_model_dimension=256,
+        encoder_num_heads=[4, 4, 4, 4], decoder_num_heads=[4, 4, 4, 4, 1],
+        encoder_feed_forward_dimension=512, decoder_feed_forward_dimension=512,
+        encoder_prenet_dimension=256, decoder_prenet_dimension=256,
+        encoder_max_position_encoding=10000,
+        decoder_max_position_encoding=10000,
+        dropout_rate=0.1, decoder_prenet_dropout=0.1, mel_channels=80,
+        max_r=10, stop_loss_scaling=8, phoneme_language='en-us',
+        with_stress=True, model_breathing=False,
+        mel_start_value=0.5, mel_end_value=-0.5)
+    tx = make_optimizer([(0.0, 1e-4), (1000.0, 1e-4)])
+    trainer = AlignerTrainer(model, tx)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    return model, trainer, state
+
+
 def build():
     from transformertts_tpu.models.forward_tts import ForwardTransformer
     from transformertts_tpu.training import ForwardTrainer, make_optimizer
@@ -61,6 +83,9 @@ def make_batch(model, b, n_tok, n_frames, rng):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--iters', type=int, default=20)
+    ap.add_argument('--model', choices=['tts', 'aligner'], default='tts')
+    ap.add_argument('--r', type=int, default=1,
+                    help='aligner reduction factor (static jit arg)')
     ap.add_argument('--bucket', type=int, default=None,
                     help='measure only this bucket index (one shape per '
                          'process gives the cleanest timing — compiling '
@@ -72,6 +97,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    if args.model == 'aligner':
+        return main_aligner(args)
     model, trainer, state = build()
     rng = np.random.default_rng(0)
     # (bucket frames, batch) pairs from the published bucket config
@@ -113,6 +140,44 @@ def main():
               f'{dt_dev * 1e3:10.1f} {dt_host * 1e3:12.1f} '
               f'{flops / 1e9:11.1f} {tfps:8.1f} '
               f'{b * n_frames / dt_dev:10.0f}')
+
+
+def main_aligner(args):
+    import jax
+    model, trainer, state = build_aligner()
+    rng = np.random.default_rng(0)
+    vocab = model.text_pipeline.tokenizer.vocab_size
+    buckets = [(256, 64, 48), (512, 32, 96), (896, 16, 160)]
+    if args.bucket is not None:
+        buckets = [buckets[args.bucket]]
+    r = args.r
+    print(f'aligner, r={r}')
+    print(f'{"bucket":>22} {"device ms":>10} {"GFLOP/step":>11} '
+          f'{"TFLOP/s":>8} {"frames/s":>10}')
+    for n_frames, b, n_tok in buckets:
+        tokens = np.zeros((b, n_tok), np.int32)
+        tokens[:, :int(n_tok * 0.9)] = rng.integers(
+            1, vocab, size=(b, int(n_tok * 0.9)))
+        mel = rng.standard_normal((b, n_frames, 80)).astype(np.float32)
+        stop = np.ones((b, n_frames), np.int32)
+        stop[:, -1] = 2
+        batch = {'tokens': tokens, 'mel': mel, 'stop_probs': stop}
+        dbatch = trainer.shard_batch(batch)
+        s, aux = trainer.train_step(state, dbatch, r=r)
+        state = s
+        float(aux['loss'])
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            s, aux = trainer.train_step(s, dbatch, r=r)
+        float(aux['loss'])
+        dt = (time.perf_counter() - t0) / args.iters
+        state = s
+        ca = trainer._train_step.lower(
+            s, dbatch, r, False, False, False).compile().cost_analysis()
+        flops = (ca or {}).get('flops', float('nan'))
+        print(f'B{b:>3} x {n_frames:>4}f x {n_tok:>3}t '
+              f'{dt * 1e3:10.1f} {flops / 1e9:11.1f} '
+              f'{flops / dt / 1e12:8.1f} {b * n_frames / dt:10.0f}')
 
 
 if __name__ == '__main__':
