@@ -112,6 +112,7 @@ class ForwardTransformer:
         self._jit_encode = None
         self._jit_decode = None
         self._jit_predict_wav = {}
+        self._jit_decode_wav = {}
 
     # ------------------------------------------------------------------ init
 
@@ -239,6 +240,45 @@ class ForwardTransformer:
                 return dec['mel']
             self._jit_decode = jax.jit(fn, static_argnames=('max_frames',))
         return self._jit_decode
+
+    def _decode_wav_jit(self, audio, n_iter: int):
+        """Batched decode → denorm → mel inversion → Griffin-Lim, fused into
+        ONE jitted dispatch (the serving-path analogue of ``predict_wav``).
+
+        Each eager op between the decoder and the waveform costs a full
+        host↔device round trip per serving chunk; fusing them keeps the
+        chunk at two dispatches total (encode + this).
+        Returns ``(wav_batch, mel_batch)`` at the static frame budget.
+        """
+        key = (n_iter, audio.n_fft, audio.hop_length, audio.win_length,
+               audio.sampling_rate, audio.f_min, audio.f_max)
+        if key not in self._jit_decode_wav:
+            from transformertts_tpu.audio import griffinlim
+
+            def fn(params, features, pitch, durations, durations_scalar,
+                   keep, max_frames):
+                pitch_embed = self.pitch_embed.apply(params['pitch_embed'],
+                                                     pitch)
+                x = features + pitch_embed
+                use = durations[:, :, 0] * durations_scalar * keep[:, :, 0]
+                dec = self.decode(params, x, use, max_frames,
+                                  deterministic=True)
+                mel = dec['mel']
+                amp = audio._denormalize(mel)
+                S = griffinlim.mel_to_linear(
+                    amp, audio.sampling_rate, audio.n_fft, audio.f_min,
+                    audio.f_max)
+                wav = jax.vmap(lambda s: griffinlim.griffin_lim(
+                    s, n_iter, audio.n_fft, audio.hop_length,
+                    audio.win_length))(S)
+                # ship PCM16: halves device→host transfer (the serving
+                # bottleneck through a remote tunnel) at wav-file precision —
+                # save_wav quantizes to int16 anyway
+                wav16 = jnp.clip(wav, -1.0, 1.0) * 32767.0
+                return wav16.astype(jnp.int16), mel
+            self._jit_decode_wav[key] = jax.jit(
+                fn, static_argnames=('max_frames',))
+        return self._jit_decode_wav[key]
 
     def predict_wav(self, inp, audio, encode: bool = True,
                     speed_regulator: float = 1.0, max_frames: int = 384,

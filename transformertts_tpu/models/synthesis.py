@@ -35,39 +35,62 @@ def synthesize_lines(model, audio, lines: Sequence[str],
         entries.append((i, np.asarray(tokens, np.int32)))
     wavs: List[np.ndarray] = [None] * len(entries)
 
-    # bucket by padded token length
-    buckets = {}
-    for idx, tokens in entries:
-        key = _round_up(len(tokens), TOKEN_BUCKET)
-        buckets.setdefault(key, []).append((idx, tokens))
+    # Length-grouped chunking: sort by token count, cut into max_batch-sized
+    # chunks, pad each chunk to its own bucketed max length. This yields the
+    # minimum chunk count — ceil(N / max_batch) device rounds — while keeping
+    # padding waste bounded (a chunk spans only adjacent lengths) and shapes
+    # bucketed (n_tok rounds to TOKEN_BUCKET → a small executable menu).
+    entries.sort(key=lambda e: len(e[1]))
+    chunks = [entries[s:s + max_batch]
+              for s in range(0, len(entries), max_batch)]
 
     scalar = np.float32(1.0 / speed_regulator)
-    for n_tok, items in sorted(buckets.items()):
-        for start in range(0, len(items), max_batch):
-            chunk = items[start:start + max_batch]
-            b = len(chunk)
-            tok = np.zeros((b, n_tok), np.int32)
-            for row, (_, t) in enumerate(chunk):
-                tok[row, :len(t)] = t
-            features, durations, pitch, keep = model._encode_jit()(
-                model.params, jnp.asarray(tok))
-            dur = np.asarray(durations)[:, :, 0] * float(scalar)
-            dur = dur * np.asarray(keep)[:, :, 0]
-            totals = np.round(dur).sum(axis=1).astype(int) + 1
-            frames = _round_up(int(totals.max()), FRAME_BUCKET)
+
+    # Phase 1: dispatch every encoder call (async — overlaps across chunks).
+    encoded = []
+    for chunk in chunks:
+        n_tok = _round_up(max(len(t) for _, t in chunk), TOKEN_BUCKET)
+        tok = np.zeros((len(chunk), n_tok), np.int32)
+        for row, (_, t) in enumerate(chunk):
+            tok[row, :len(t)] = t
+        encoded.append(model._encode_jit()(model.params, jnp.asarray(tok)))
+
+    # Phase 2: size each chunk's frame budget from its predicted durations
+    # and dispatch the fused decode→waveform call (decoder + denorm + mel
+    # inversion + Griffin-Lim in ONE jitted dispatch — every eager op in
+    # between would cost a host↔device round trip per chunk).
+    decoded = []
+    for chunk, (features, durations, pitch, keep) in zip(chunks, encoded):
+        dur = np.asarray(durations)[:, :, 0] * float(scalar)
+        dur = dur * np.asarray(keep)[:, :, 0]
+        totals = np.round(dur).sum(axis=1).astype(int) + 1
+        frames = _round_up(int(totals.max()), FRAME_BUCKET)
+        if vocoder is not None:
+            b, n_tok = dur.shape
             ones = np.ones((b, n_tok), np.float32)
             mel = model._decode_jit()(
                 model.params, features, pitch, durations,
-                jnp.asarray(ones * np.float32(1e9)), jnp.asarray(ones * 0.0),
+                jnp.asarray(ones * np.float32(1e9)),
+                jnp.asarray(ones * 0.0),
                 jnp.asarray(scalar), keep, frames)
-            if vocoder is not None:
-                wav_batch = vocoder.apply(vocoder.params, mel)
-                hop = vocoder.hop_length
-            else:
-                wav_batch = audio.reconstruct_waveform_batch(mel, n_iter=n_iter)
-                hop = audio.hop_length
-            for row, (orig_idx, _) in enumerate(chunk):
-                n_frames = int(totals[row]) - 1
-                n_samples = n_frames * hop
-                wavs[orig_idx] = np.asarray(wav_batch[row][:n_samples])
+            wav_dev = vocoder.apply(vocoder.params, mel)
+            hop = vocoder.hop_length
+        else:
+            wav_dev, _ = model._decode_wav_jit(
+                audio, n_iter or audio.griffin_lim_iters)(
+                model.params, features, pitch, durations,
+                jnp.asarray(scalar), keep, frames)
+            hop = audio.hop_length
+        decoded.append((chunk, totals, wav_dev, hop))
+
+    # Phase 3: ONE bulk fetch per chunk; trim per sentence on host
+    # (per-row device slicing would cost a round trip per sentence).
+    # The Griffin-Lim path ships PCM16 and converts back to float here.
+    for chunk, totals, wav_dev, hop in decoded:
+        wav_batch = np.asarray(wav_dev)
+        if wav_batch.dtype == np.int16:
+            wav_batch = wav_batch.astype(np.float32) / 32767.0
+        for row, (orig_idx, _) in enumerate(chunk):
+            n_frames = int(totals[row]) - 1
+            wavs[orig_idx] = wav_batch[row][:n_frames * hop]
     return wavs
