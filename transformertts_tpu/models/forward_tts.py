@@ -280,6 +280,28 @@ class ForwardTransformer:
                 fn, static_argnames=('max_frames',))
         return self._jit_decode_wav[key]
 
+    def _decode_vocoder_jit(self, vocoder):
+        """Batched decode → neural vocoder, fused into ONE jitted dispatch
+        (the vocoder analogue of ``_decode_wav_jit``; a raw ``vocoder.apply``
+        call would run the whole generator op-by-op eagerly).
+        Returns ``(pcm16_wav_batch, mel_batch)``."""
+        key = ('vocoder', id(vocoder))
+        if key not in self._jit_decode_wav:
+            def fn(params, voc_params, features, pitch, durations,
+                   durations_scalar, keep, max_frames):
+                pitch_embed = self.pitch_embed.apply(params['pitch_embed'],
+                                                     pitch)
+                x = features + pitch_embed
+                use = durations[:, :, 0] * durations_scalar * keep[:, :, 0]
+                dec = self.decode(params, x, use, max_frames,
+                                  deterministic=True)
+                wav = vocoder.apply(voc_params, dec['mel'])
+                wav16 = jnp.clip(wav, -1.0, 1.0) * 32767.0
+                return wav16.astype(jnp.int16), dec['mel']
+            self._jit_decode_wav[key] = jax.jit(
+                fn, static_argnames=('max_frames',))
+        return self._jit_decode_wav[key]
+
     def predict_wav(self, inp, audio, encode: bool = True,
                     speed_regulator: float = 1.0, max_frames: int = 384,
                     n_iter: int = None):

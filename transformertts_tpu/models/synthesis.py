@@ -66,14 +66,9 @@ def synthesize_lines(model, audio, lines: Sequence[str],
         totals = np.round(dur).sum(axis=1).astype(int) + 1
         frames = _round_up(int(totals.max()), FRAME_BUCKET)
         if vocoder is not None:
-            b, n_tok = dur.shape
-            ones = np.ones((b, n_tok), np.float32)
-            mel = model._decode_jit()(
-                model.params, features, pitch, durations,
-                jnp.asarray(ones * np.float32(1e9)),
-                jnp.asarray(ones * 0.0),
+            wav_dev, _ = model._decode_vocoder_jit(vocoder)(
+                model.params, vocoder.params, features, pitch, durations,
                 jnp.asarray(scalar), keep, frames)
-            wav_dev = vocoder.apply(vocoder.params, mel)
             hop = vocoder.hop_length
         else:
             wav_dev, _ = model._decode_wav_jit(
