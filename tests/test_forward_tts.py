@@ -122,6 +122,39 @@ def test_batched_synthesis_matches_per_line(tiny_model):
             (len(wav), expected)
 
 
+def test_serving_warmup_and_ragged_batches(tiny_model):
+    """warmup_serving precompiles the menu; ragged chunk sizes pad to
+    power-of-two batch buckets and still return per-line wavs."""
+    from transformertts_tpu.audio import Audio
+    from transformertts_tpu.models import synthesis
+    audio = Audio(sampling_rate=22050, n_fft=512,
+                  mel_channels=tiny_model.mel_channels,
+                  hop_length=128, win_length=512, f_min=0, f_max=8000,
+                  normalizer='MelGAN', griffin_lim_iters=4)
+    n = synthesis.warmup_serving(
+        tiny_model, audio, max_batch=4, token_buckets=(32,),
+        frame_buckets=(128,), n_iter=4, include_ragged_batches=True)
+    assert n == 3  # batches {4, 1, 2} x 1 token bucket x 1 frame bucket
+    # 5 lines at max_batch=4 -> chunks of 4 and 1 (ragged, padded to 1)
+    lines = ['one', 'two words here', 'three', 'four words in line', 'five']
+    wavs = synthesis.synthesize_lines(tiny_model, audio, lines,
+                                      n_iter=4, max_batch=4)
+    assert len(wavs) == 5
+    for line, wav in zip(lines, wavs):
+        assert wav.ndim == 1 and np.all(np.isfinite(wav))
+        if len(wav):
+            assert np.max(np.abs(wav)) <= 1.0
+        expected = tiny_model.predict(line)['mel'].shape[0] * audio.hop_length
+        assert abs(len(wav) - expected) <= audio.hop_length * 2, \
+            (line, len(wav), expected)
+
+
+def test_batch_bucket_menu():
+    from transformertts_tpu.models.synthesis import _batch_bucket
+    assert [_batch_bucket(b, 32) for b in (1, 2, 3, 5, 17, 31, 32, 40)] == \
+        [1, 2, 4, 8, 32, 32, 32, 32]
+
+
 def test_predict_wav_single_call(tiny_model):
     from transformertts_tpu.audio import Audio
     audio = Audio(sampling_rate=22050, n_fft=512, mel_channels=20,

@@ -2,11 +2,15 @@
 
 The reference synthesizes one sentence at a time (predict_tts.py:52-63, host
 Griffin-Lim per line). Here a whole file of sentences runs as a few device
-calls: sentences are tokenized, grouped into token-length buckets (static
-shapes → a handful of compiled programs), each bucket runs one batched
-encode→decode at a shared frame budget, and waveforms come back from ONE
-vmapped on-device Griffin-Lim per bucket. Each wav is trimmed to its own
-predicted length.
+rounds: sentences are tokenized, sorted by length, cut into chunks padded to
+bucketed (batch, token, frame) shapes — a small, enumerable executable menu —
+and each chunk runs encoder then a single fused decode→waveform dispatch
+(decoder + denorm + mel inversion + Griffin-Lim, or decoder + neural
+vocoder). Waveforms ship as PCM16 and each wav is trimmed to its own
+predicted length on host.
+
+``warmup_serving`` precompiles the executable menu up front so a serving
+process never compiles at request time.
 """
 from typing import List, Sequence
 
@@ -21,14 +25,41 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+def _batch_bucket(b: int, max_batch: int) -> int:
+    """Round a ragged chunk size up to a power of two (≤ max_batch): the
+    executable menu stays {1, 2, 4, …, max_batch} instead of growing by one
+    entry per distinct final-chunk size."""
+    if b >= max_batch:
+        return max_batch
+    p = 1
+    while p < b:
+        p *= 2
+    return min(p, max_batch)
+
+
+def _dispatch_decode_wav(model, audio, vocoder, n_iter,
+                         features, pitch, durations, scalar, keep, frames):
+    """One fused decode→waveform dispatch; returns (device_wav, hop)."""
+    if vocoder is not None:
+        wav_dev, _ = model._decode_vocoder_jit(vocoder)(
+            model.params, vocoder.params, features, pitch, durations,
+            jnp.asarray(scalar), keep, frames)
+        return wav_dev, vocoder.hop_length
+    wav_dev, _ = model._decode_wav_jit(
+        audio, n_iter or audio.griffin_lim_iters)(
+        model.params, features, pitch, durations,
+        jnp.asarray(scalar), keep, frames)
+    return wav_dev, audio.hop_length
+
+
 def synthesize_lines(model, audio, lines: Sequence[str],
                      speed_regulator: float = 1.0, n_iter: int = None,
                      max_batch: int = 32, vocoder=None) -> List[np.ndarray]:
     """Synthesize many sentences; returns wavs in input order.
 
-    ``vocoder``: optional neural vocoder (models/melgan.MelGANVocoder);
-    when given, waveforms come from one batched vocoder call per bucket
-    instead of Griffin-Lim."""
+    ``vocoder``: optional neural vocoder (models/melgan.MelGANVocoder or
+    models/hifigan.HiFiGANVocoder); when given, waveforms come from the
+    fused decoder+vocoder dispatch instead of Griffin-Lim."""
     entries = []   # (orig_idx, tokens)
     for i, line in enumerate(lines):
         tokens = model.encode_text(line)
@@ -47,40 +78,34 @@ def synthesize_lines(model, audio, lines: Sequence[str],
     scalar = np.float32(1.0 / speed_regulator)
 
     # Phase 1: dispatch every encoder call (async — overlaps across chunks).
+    # Ragged chunk batches pad up to a power-of-two bucket; padding rows are
+    # all-pad token rows, masked out by the model's keep mask.
     encoded = []
     for chunk in chunks:
         n_tok = _round_up(max(len(t) for _, t in chunk), TOKEN_BUCKET)
-        tok = np.zeros((len(chunk), n_tok), np.int32)
+        b = _batch_bucket(len(chunk), max_batch)
+        tok = np.zeros((b, n_tok), np.int32)
         for row, (_, t) in enumerate(chunk):
             tok[row, :len(t)] = t
         encoded.append(model._encode_jit()(model.params, jnp.asarray(tok)))
 
     # Phase 2: size each chunk's frame budget from its predicted durations
-    # and dispatch the fused decode→waveform call (decoder + denorm + mel
-    # inversion + Griffin-Lim in ONE jitted dispatch — every eager op in
-    # between would cost a host↔device round trip per chunk).
+    # and dispatch the fused decode→waveform call (every eager op between
+    # decoder and waveform costs a host↔device round trip per chunk).
     decoded = []
     for chunk, (features, durations, pitch, keep) in zip(chunks, encoded):
         dur = np.asarray(durations)[:, :, 0] * float(scalar)
         dur = dur * np.asarray(keep)[:, :, 0]
         totals = np.round(dur).sum(axis=1).astype(int) + 1
-        frames = _round_up(int(totals.max()), FRAME_BUCKET)
-        if vocoder is not None:
-            wav_dev, _ = model._decode_vocoder_jit(vocoder)(
-                model.params, vocoder.params, features, pitch, durations,
-                jnp.asarray(scalar), keep, frames)
-            hop = vocoder.hop_length
-        else:
-            wav_dev, _ = model._decode_wav_jit(
-                audio, n_iter or audio.griffin_lim_iters)(
-                model.params, features, pitch, durations,
-                jnp.asarray(scalar), keep, frames)
-            hop = audio.hop_length
+        frames = _round_up(int(totals[:len(chunk)].max()), FRAME_BUCKET)
+        wav_dev, hop = _dispatch_decode_wav(
+            model, audio, vocoder, n_iter,
+            features, pitch, durations, scalar, keep, frames)
         decoded.append((chunk, totals, wav_dev, hop))
 
     # Phase 3: ONE bulk fetch per chunk; trim per sentence on host
     # (per-row device slicing would cost a round trip per sentence).
-    # The Griffin-Lim path ships PCM16 and converts back to float here.
+    # Both paths ship PCM16; convert back to float here.
     for chunk, totals, wav_dev, hop in decoded:
         wav_batch = np.asarray(wav_dev)
         if wav_batch.dtype == np.int16:
@@ -89,3 +114,41 @@ def synthesize_lines(model, audio, lines: Sequence[str],
             n_frames = int(totals[row]) - 1
             wavs[orig_idx] = wav_batch[row][:n_frames * hop]
     return wavs
+
+
+def warmup_serving(model, audio, max_batch: int = 32,
+                   token_buckets: Sequence[int] = (32, 64, 96, 128),
+                   frame_buckets: Sequence[int] = (128, 256, 384),
+                   n_iter: int = None, vocoder=None,
+                   include_ragged_batches: bool = False) -> int:
+    """Precompile the serving executable menu so no request ever compiles.
+
+    Runs one tiny dummy call per (batch, n_tok, frames) combination through
+    the encoder and the fused decode→waveform dispatch. With the persistent
+    XLA compile cache enabled this is one-time work per machine. Returns the
+    number of (token, frame) shape combinations warmed.
+
+    ``include_ragged_batches`` additionally warms the power-of-two batch
+    buckets below ``max_batch`` (used by final chunks of short workloads).
+    """
+    batches = [max_batch]
+    if include_ragged_batches:
+        p = 1
+        while p < max_batch:
+            batches.append(p)
+            p *= 2
+    count = 0
+    for b in batches:
+        for n_tok in token_buckets:
+            tok = np.ones((b, n_tok), np.int32)
+            features, durations, pitch, keep = model._encode_jit()(
+                model.params, jnp.asarray(tok))
+            for frames in frame_buckets:
+                wav_dev, _ = _dispatch_decode_wav(
+                    model, audio, vocoder, n_iter,
+                    features, pitch, durations, np.float32(1.0), keep,
+                    frames)
+                count += 1
+    # block on the last dispatch so "warm" means compiled AND executed
+    np.asarray(wav_dev[0, :1])
+    return count
