@@ -113,14 +113,18 @@ class Aligner:
         return config
 
     def init_params(self, key) -> dict:
-        params = core.init_submodules(key, {
-            'encoder_prenet': self.encoder_prenet,
-            'encoder': self.encoder,
-            'decoder_prenet': self.decoder_prenet,
-            'decoder': self.decoder,
-            'final_proj_mel': self.final_proj_mel,
-            'decoder_postnet': self.decoder_postnet,
-        })
+        # one jitted call: eager init dispatches one tiny op per tensor,
+        # which costs minutes through a remote-dispatch TPU tunnel
+        def init(k):
+            return core.init_submodules(k, {
+                'encoder_prenet': self.encoder_prenet,
+                'encoder': self.encoder,
+                'decoder_prenet': self.decoder_prenet,
+                'decoder': self.decoder,
+                'final_proj_mel': self.final_proj_mel,
+                'decoder_postnet': self.decoder_postnet,
+            })
+        params = jax.jit(init)(key)
         self.params = params
         return params
 

@@ -129,15 +129,19 @@ class ForwardTransformer:
         return config
 
     def init_params(self, key) -> dict:
-        params = core.init_submodules(key, {
-            'encoder_prenet': self.encoder_prenet,
-            'encoder': self.encoder,
-            'dur_pred': self.dur_pred,
-            'pitch_pred': self.pitch_pred,
-            'pitch_embed': self.pitch_embed,
-            'decoder': self.decoder,
-            'out': self.out,
-        })
+        # one jitted call: eager init dispatches one tiny op per tensor,
+        # which costs minutes through a remote-dispatch TPU tunnel
+        def init(k):
+            return core.init_submodules(k, {
+                'encoder_prenet': self.encoder_prenet,
+                'encoder': self.encoder,
+                'dur_pred': self.dur_pred,
+                'pitch_pred': self.pitch_pred,
+                'pitch_embed': self.pitch_embed,
+                'decoder': self.decoder,
+                'out': self.out,
+            })
+        params = jax.jit(init)(key)
         self.params = params
         return params
 

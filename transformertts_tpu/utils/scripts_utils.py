@@ -22,12 +22,29 @@ def print_devices():
           if devices else 'no devices')
 
 
+def apply_platform_env():
+    """Make ``JAX_PLATFORMS`` effective even when an ambient PJRT plugin
+    (e.g. a sitecustomize-registered TPU backend) overrides the env var
+    after import: re-apply it through jax.config, which wins. No-op when
+    the variable is unset or backends are already initialized."""
+    import os
+    import jax
+    plat = os.environ.get('JAX_PLATFORMS')
+    if plat:
+        try:
+            jax.config.update('jax_platforms', plat)
+        except Exception:
+            pass
+
+
 def enable_compilation_cache(path: str = None):
     """Persistent XLA compilation cache: first compiles of each executable
     are reused across runs — critical when compiles go through a remote
-    service (minutes each)."""
+    service (minutes each). Also applies ``JAX_PLATFORMS`` (every CLI calls
+    this first, so platform selection works under ambient PJRT plugins)."""
     import os
     import jax
+    apply_platform_env()
     path = path or os.environ.get('JAX_COMPILATION_CACHE_DIR',
                                   os.path.expanduser('~/.cache/tts_tpu_xla'))
     try:
