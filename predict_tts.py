@@ -29,6 +29,10 @@ def main(argv=None):
                         help='path to a MelGAN (seungwonpark/melgan) or HiFi-GAN '
                              '(jik876/hifi-gan) torch checkpoint; synthesizes with '
                              'the neural vocoder on device instead of Griffin-Lim')
+    parser.add_argument('--data_parallel', dest='data_parallel', default=1,
+                        type=int,
+                        help='shard batched synthesis over N devices '
+                             '(data-parallel mesh; batched path only)')
     args = parser.parse_args(argv)
     enable_compilation_cache()
 
@@ -67,7 +71,15 @@ def main(argv=None):
     if not args.per_line and not args.store_mel and len(lines) > 1:
         # batched serving path: bucketed device batches + vmapped Griffin-Lim
         from transformertts_tpu.models.synthesis import synthesize_lines
-        wavs = synthesize_lines(model, audio, lines, vocoder=vocoder)
+        mesh = None
+        if args.data_parallel > 1:
+            import jax
+            from transformertts_tpu.parallel import MeshConfig, make_mesh
+            mesh = make_mesh(MeshConfig(data=args.data_parallel, model=1),
+                             devices=jax.devices()[:args.data_parallel])
+            print(f'Serving over a {args.data_parallel}-device data-parallel mesh')
+        wavs = synthesize_lines(model, audio, lines, vocoder=vocoder,
+                                mesh=mesh)
         for i, wav in enumerate(wavs):
             if args.single:
                 audio.save_wav(wav, (outdir / (file_name + f'_{i}')).with_suffix('.wav'))

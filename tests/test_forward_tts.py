@@ -153,6 +153,37 @@ def test_batch_bucket_menu():
     from transformertts_tpu.models.synthesis import _batch_bucket
     assert [_batch_bucket(b, 32) for b in (1, 2, 3, 5, 17, 31, 32, 40)] == \
         [1, 2, 4, 8, 32, 32, 32, 32]
+    # a mesh data-axis floor keeps sharded batches divisible
+    assert [_batch_bucket(b, 32, min_batch=4) for b in (1, 3, 5, 40)] == \
+        [4, 4, 8, 32]
+
+
+def test_mesh_sharded_serving_matches_single_device(tiny_model):
+    """synthesize_lines over a 4-device data mesh == single-device output."""
+    from transformertts_tpu.audio import Audio
+    from transformertts_tpu.models.synthesis import synthesize_lines
+    from transformertts_tpu.parallel import MeshConfig, make_mesh
+    audio = Audio(sampling_rate=22050, n_fft=512,
+                  mel_channels=tiny_model.mel_channels,
+                  hop_length=128, win_length=512, f_min=0, f_max=8000,
+                  normalizer='MelGAN', griffin_lim_iters=4)
+    lines = ['hello there', 'a much longer sentence with many words in it',
+             'short', 'one more line to fill the batch', 'and another',
+             'the quick brown fox']
+    ref = synthesize_lines(tiny_model, audio, lines, n_iter=4, max_batch=4)
+    mesh = make_mesh(MeshConfig(data=4, model=1), devices=jax.devices()[:4])
+    got = synthesize_lines(tiny_model, audio, lines, n_iter=4, max_batch=4,
+                           mesh=mesh)
+    assert len(got) == len(ref)
+    for r, g in zip(ref, got):
+        assert len(r) == len(g)
+        if len(r):
+            # SPMD reduction order differs from single-device, and
+            # Griffin-Lim on an untrained model's mels amplifies it
+            # chaotically near the ±1 clip; compare robustly.
+            diff = np.abs(r - g)
+            assert np.mean(diff) < 2e-3, np.mean(diff)
+            assert np.max(diff) < 0.1, np.max(diff)
 
 
 def test_predict_wav_single_call(tiny_model):

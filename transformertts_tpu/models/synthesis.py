@@ -14,6 +14,7 @@ process never compiles at request time.
 """
 from typing import List, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,13 +26,14 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-def _batch_bucket(b: int, max_batch: int) -> int:
+def _batch_bucket(b: int, max_batch: int, min_batch: int = 1) -> int:
     """Round a ragged chunk size up to a power of two (≤ max_batch): the
     executable menu stays {1, 2, 4, …, max_batch} instead of growing by one
-    entry per distinct final-chunk size."""
+    entry per distinct final-chunk size. ``min_batch`` (e.g. the mesh's
+    data-axis size) floors the bucket so sharded batches stay divisible."""
     if b >= max_batch:
         return max_batch
-    p = 1
+    p = max(1, min_batch)
     while p < b:
         p *= 2
     return min(p, max_batch)
@@ -54,12 +56,25 @@ def _dispatch_decode_wav(model, audio, vocoder, n_iter,
 
 def synthesize_lines(model, audio, lines: Sequence[str],
                      speed_regulator: float = 1.0, n_iter: int = None,
-                     max_batch: int = 32, vocoder=None) -> List[np.ndarray]:
+                     max_batch: int = 32, vocoder=None,
+                     mesh=None) -> List[np.ndarray]:
     """Synthesize many sentences; returns wavs in input order.
 
     ``vocoder``: optional neural vocoder (models/melgan.MelGANVocoder or
     models/hifigan.HiFiGANVocoder); when given, waveforms come from the
-    fused decoder+vocoder dispatch instead of Griffin-Lim."""
+    fused decoder+vocoder dispatch instead of Griffin-Lim.
+
+    ``mesh``: optional ('data', 'model') jax.sharding.Mesh — serving chunks
+    shard their batch axis over the 'data' devices (params replicate once;
+    XLA runs each dispatch SPMD across the mesh). ``max_batch`` should be a
+    multiple of the data-axis size."""
+    n_data = 1
+    if mesh is not None and mesh.devices.size > 1:
+        from transformertts_tpu.parallel import mesh as mesh_util
+        n_data = mesh.shape[mesh_util.DATA_AXIS]
+        model.params = mesh_util.shard_params(mesh, model.params)
+        if vocoder is not None:
+            vocoder.params = mesh_util.shard_params(mesh, vocoder.params)
     entries = []   # (orig_idx, tokens)
     for i, line in enumerate(lines):
         tokens = model.encode_text(line)
@@ -83,11 +98,16 @@ def synthesize_lines(model, audio, lines: Sequence[str],
     encoded = []
     for chunk in chunks:
         n_tok = _round_up(max(len(t) for _, t in chunk), TOKEN_BUCKET)
-        b = _batch_bucket(len(chunk), max_batch)
+        b = _batch_bucket(len(chunk), max_batch, min_batch=n_data)
         tok = np.zeros((b, n_tok), np.int32)
         for row, (_, t) in enumerate(chunk):
             tok[row, :len(t)] = t
-        encoded.append(model._encode_jit()(model.params, jnp.asarray(tok)))
+        if n_data > 1:
+            from transformertts_tpu.parallel import mesh as mesh_util
+            tok_dev = jax.device_put(tok, mesh_util.batch_sharding(mesh, 1))
+        else:
+            tok_dev = jnp.asarray(tok)
+        encoded.append(model._encode_jit()(model.params, tok_dev))
 
     # Phase 2: size each chunk's frame budget from its predicted durations
     # and dispatch the fused decode→waveform call (every eager op between
@@ -120,7 +140,8 @@ def warmup_serving(model, audio, max_batch: int = 32,
                    token_buckets: Sequence[int] = (32, 64, 96, 128),
                    frame_buckets: Sequence[int] = (128, 256, 384),
                    n_iter: int = None, vocoder=None,
-                   include_ragged_batches: bool = False) -> int:
+                   include_ragged_batches: bool = False,
+                   mesh=None) -> int:
     """Precompile the serving executable menu so no request ever compiles.
 
     Runs one tiny dummy call per (batch, n_tok, frames) combination through
@@ -130,10 +151,18 @@ def warmup_serving(model, audio, max_batch: int = 32,
 
     ``include_ragged_batches`` additionally warms the power-of-two batch
     buckets below ``max_batch`` (used by final chunks of short workloads).
+    ``mesh``: warm the SPMD executables used by mesh-sharded serving.
     """
+    n_data = 1
+    if mesh is not None and mesh.devices.size > 1:
+        from transformertts_tpu.parallel import mesh as mesh_util
+        n_data = mesh.shape[mesh_util.DATA_AXIS]
+        model.params = mesh_util.shard_params(mesh, model.params)
+        if vocoder is not None:
+            vocoder.params = mesh_util.shard_params(mesh, vocoder.params)
     batches = [max_batch]
     if include_ragged_batches:
-        p = 1
+        p = n_data
         while p < max_batch:
             batches.append(p)
             p *= 2
@@ -141,8 +170,14 @@ def warmup_serving(model, audio, max_batch: int = 32,
     for b in batches:
         for n_tok in token_buckets:
             tok = np.ones((b, n_tok), np.int32)
+            if n_data > 1:
+                from transformertts_tpu.parallel import mesh as mesh_util
+                tok_dev = jax.device_put(
+                    tok, mesh_util.batch_sharding(mesh, 1))
+            else:
+                tok_dev = jnp.asarray(tok)
             features, durations, pitch, keep = model._encode_jit()(
-                model.params, jnp.asarray(tok))
+                model.params, tok_dev)
             for frames in frame_buckets:
                 wav_dev, _ = _dispatch_decode_wav(
                     model, audio, vocoder, n_iter,

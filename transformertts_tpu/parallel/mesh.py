@@ -109,10 +109,17 @@ def maybe_initialize_distributed(config: dict) -> None:
 
 
 def shard_params(mesh: Mesh, params):
-    """Replicate a parameter/optimizer pytree across the mesh."""
+    """Replicate a parameter/optimizer pytree across the mesh.
+
+    Arrays already carrying the target sharding pass through untouched —
+    device_put is not a no-op on remote-dispatch backends."""
     sharding = replicated(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), params)
+
+    def place(x):
+        if isinstance(x, jax.Array) and x.sharding == sharding:
+            return x
+        return jax.device_put(x, sharding)
+    return jax.tree_util.tree_map(place, params)
 
 
 # Megatron-style tensor-parallel pairs, keyed by parameter PATH (the model's
