@@ -245,6 +245,25 @@ class ForwardTransformer:
             self._jit_decode = jax.jit(fn, static_argnames=('max_frames',))
         return self._jit_decode
 
+    def _decode_features(self, params, features, pitch, durations,
+                         durations_scalar, keep, max_frames):
+        """Shared serving prefix: pitch embed + duration scale + decode."""
+        pitch_embed = self.pitch_embed.apply(params['pitch_embed'], pitch)
+        x = features + pitch_embed
+        use = durations[:, :, 0] * durations_scalar * keep[:, :, 0]
+        return self.decode(params, x, use, max_frames, deterministic=True)
+
+    @staticmethod
+    def _to_pcm16(wav):
+        """(B, T) float wav → int16 PCM, matching ``wav_io.save_wav``'s
+        per-utterance peak normalization (rescale when |peak| > 1 instead
+        of hard-clipping, which would distort loud outputs). Shipping PCM16
+        halves device→host transfer — the serving bottleneck through a
+        remote tunnel."""
+        peak = jnp.max(jnp.abs(wav), axis=-1, keepdims=True)
+        wav = wav / jnp.maximum(peak, 1.0)
+        return (wav * 32767.0).astype(jnp.int16)
+
     def _decode_wav_jit(self, audio, n_iter: int):
         """Batched decode → denorm → mel inversion → Griffin-Lim, fused into
         ONE jitted dispatch (the serving-path analogue of ``predict_wav``).
@@ -252,21 +271,19 @@ class ForwardTransformer:
         Each eager op between the decoder and the waveform costs a full
         host↔device round trip per serving chunk; fusing them keeps the
         chunk at two dispatches total (encode + this).
-        Returns ``(wav_batch, mel_batch)`` at the static frame budget.
+        Returns ``(pcm16_wav_batch, mel_batch)`` at the static frame budget.
         """
-        key = (n_iter, audio.n_fft, audio.hop_length, audio.win_length,
-               audio.sampling_rate, audio.f_min, audio.f_max)
+        # id(audio) keys the closure's baked-in normalizer/denormalize math;
+        # the closure keeps audio alive so the id cannot be recycled
+        key = (id(audio), n_iter)
         if key not in self._jit_decode_wav:
             from transformertts_tpu.audio import griffinlim
 
             def fn(params, features, pitch, durations, durations_scalar,
                    keep, max_frames):
-                pitch_embed = self.pitch_embed.apply(params['pitch_embed'],
-                                                     pitch)
-                x = features + pitch_embed
-                use = durations[:, :, 0] * durations_scalar * keep[:, :, 0]
-                dec = self.decode(params, x, use, max_frames,
-                                  deterministic=True)
+                dec = self._decode_features(params, features, pitch,
+                                            durations, durations_scalar,
+                                            keep, max_frames)
                 mel = dec['mel']
                 amp = audio._denormalize(mel)
                 S = griffinlim.mel_to_linear(
@@ -275,11 +292,7 @@ class ForwardTransformer:
                 wav = jax.vmap(lambda s: griffinlim.griffin_lim(
                     s, n_iter, audio.n_fft, audio.hop_length,
                     audio.win_length))(S)
-                # ship PCM16: halves device→host transfer (the serving
-                # bottleneck through a remote tunnel) at wav-file precision —
-                # save_wav quantizes to int16 anyway
-                wav16 = jnp.clip(wav, -1.0, 1.0) * 32767.0
-                return wav16.astype(jnp.int16), mel
+                return self._to_pcm16(wav), mel
             self._jit_decode_wav[key] = jax.jit(
                 fn, static_argnames=('max_frames',))
         return self._jit_decode_wav[key]
@@ -293,15 +306,11 @@ class ForwardTransformer:
         if key not in self._jit_decode_wav:
             def fn(params, voc_params, features, pitch, durations,
                    durations_scalar, keep, max_frames):
-                pitch_embed = self.pitch_embed.apply(params['pitch_embed'],
-                                                     pitch)
-                x = features + pitch_embed
-                use = durations[:, :, 0] * durations_scalar * keep[:, :, 0]
-                dec = self.decode(params, x, use, max_frames,
-                                  deterministic=True)
+                dec = self._decode_features(params, features, pitch,
+                                            durations, durations_scalar,
+                                            keep, max_frames)
                 wav = vocoder.apply(voc_params, dec['mel'])
-                wav16 = jnp.clip(wav, -1.0, 1.0) * 32767.0
-                return wav16.astype(jnp.int16), dec['mel']
+                return self._to_pcm16(wav), dec['mel']
             self._jit_decode_wav[key] = jax.jit(
                 fn, static_argnames=('max_frames',))
         return self._jit_decode_wav[key]
