@@ -126,10 +126,16 @@ def main():
     from transformertts_tpu.utils.config import TrainingConfigManager
     from transformertts_tpu.training import checkpointing
 
-    # stage 1
+    # stage 1 (skipped when its outputs already exist — the soak is
+    # stage-resumable so a flaky backend doesn't redo finished work)
     cfg = write_config(tmp, args, args.aligner_steps)
-    run_stage('stage1 create_training_data',
-              lambda: create_training_data.main(['--config', str(cfg)]))
+    cm_probe = TrainingConfigManager(cfg, aligner=True)
+    if cm_probe.train_metadata_path.exists():
+        print('=== stage1 create_training_data: already done, skipping',
+              flush=True)
+    else:
+        run_stage('stage1 create_training_data',
+                  lambda: create_training_data.main(['--config', str(cfg)]))
 
     # stage 2 as TWO real processes: segment 1 stops at half the steps,
     # segment 2 reruns the same command with full max_steps and must resume
