@@ -44,6 +44,10 @@ def test_positional_encoding_values():
                                [0, 1] * 8, atol=1e-6)  # sin(0)=0, cos(0)=1
     # position 1, dim 0: sin(1)
     assert abs(float(pe[0, 1, 0]) - np.sin(1.0)) < 1e-6
+    # must stay a HOST numpy array: a jnp table closed over by jitted
+    # functions is re-fetched from the device at every first lowering per
+    # process (measured 40-400 s through a remote TPU tunnel)
+    assert isinstance(pe, np.ndarray) and not isinstance(pe, jnp.ndarray)
 
 
 def test_masks():
