@@ -217,6 +217,19 @@ def test_checkpoint_roundtrip(tmp_path):
     assert 30 in steps and 25 in steps and 20 in steps
     assert 10 not in steps and 7 not in steps
 
+    # regression: a torn '.tmp_ckpt_*.npz' left by a crash mid-save must
+    # never be listed as a checkpoint (it previously matched the unanchored
+    # regex and, having the highest step, shadowed the last good snapshot)
+    (tmp_path / '.tmp_ckpt_99999.npz').write_bytes(b'torn partial write')
+    steps = [s for s, _ in checkpointing.list_checkpoints(tmp_path)]
+    assert 99999 not in steps
+    restored = checkpointing.restore_latest(tmp_path, template)
+    assert int(restored.step) == 30
+    # and the next save sweeps stale tmp files
+    checkpointing.save_checkpoint(
+        tmp_path, state._replace(step=jnp.asarray(40)))
+    assert not list(tmp_path.glob('.tmp_ckpt_*.npz'))
+
 
 def test_config_manager_load_model_explicit_checkpoint(tmp_path):
     """cm.load_model(checkpoint_path=...) restores a specific snapshot."""

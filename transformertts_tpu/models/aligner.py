@@ -314,6 +314,12 @@ class Aligner:
         tokens = np.asarray(inp, np.int32)
         if tokens.ndim < 2:
             tokens = tokens[None, :]
+        if tokens.shape[0] != 1:
+            # the stop check gates on sample 0 and only sample 0's mel is
+            # returned — a silent wrong answer for B>1 (reference predict is
+            # also single-sample, model/models.py:271-292)
+            raise ValueError('Aligner.predict is single-sample; '
+                             f'got batch of {tokens.shape[0]}')
         # pad tokens to a bucket so arbitrary sentences share executables
         n_pad = max(32, -(-tokens.shape[1] // 32) * 32)
         tokens = np.pad(tokens, ((0, 0), (0, n_pad - tokens.shape[1])))
@@ -334,8 +340,17 @@ class Aligner:
 
     # ------------------------------------------------------------- constants
 
-    def set_constants(self, reduction_factor: int = None, **_):
-        """r is a host-side static constant selecting the compiled variant."""
+    def set_constants(self, reduction_factor: int = None, **kwargs):
+        """r is a host-side static constant selecting the compiled variant.
+
+        Unknown kwargs raise: constants baked at trace time (e.g.
+        decoder_prenet_dropout) cannot be changed here, and silently
+        accepting them would hide that."""
+        if kwargs:
+            raise TypeError(
+                f'set_constants got unsupported constants {sorted(kwargs)}; '
+                'only reduction_factor is runtime-settable (other model '
+                'constants are baked into the compiled steps at trace time)')
         if reduction_factor is not None and reduction_factor != self.r:
             self.r = int(reduction_factor)
             self._jit_align = None

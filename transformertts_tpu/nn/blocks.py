@@ -335,9 +335,11 @@ class CrossAttentionBlocks:
 class DecoderPrenet:
     """Two relu denses with dropout (reference: model/layers.py:420-443).
 
-    The dropout rate is a runtime argument (the reference stores it in a
-    mutable tf.Variable so it can be scheduled without retracing; here it is
-    simply traced as a scalar input).
+    The dropout rate is an ``apply``-time Python float that is BAKED INTO
+    each compiled executable at trace time (the reference keeps it in a
+    non-trainable tf.Variable, but nothing in the reference mutates it at
+    runtime either — it is a constructor constant in both frameworks;
+    changing it requires rebuilding the jitted steps).
     """
 
     def __init__(self, in_dim: int, model_dim: int, dense_hidden_units: int):

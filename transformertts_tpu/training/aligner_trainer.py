@@ -48,6 +48,16 @@ def aligner_loss(model, params, batch: dict, r: int, stop_loss,
         LOSS_WEIGHTS)
 
     phon_len = jnp.sum(1.0 - jnp.squeeze(out['text_mask'], axis=(1, 2)), axis=1)
+    # normalize per REAL sample: rows zero-padded onto the batch axis (mesh
+    # divisibility padding) contribute 0 to the sum but must not inflate
+    # the denominator, or the penalty weight would shrink with padding
+    n_real = jnp.maximum(
+        jnp.sum((jnp.sum(tokens != 0, axis=1) > 0).astype(jnp.float32)), 1.0)
+
+    def diag_penalty(att, dmask):
+        per_sample = jnp.sum(att * dmask, axis=(-2, -1))      # (B, H)
+        return jnp.sum(per_sample) / (n_real * per_sample.shape[1]) / 10.0
+
     d_loss = jnp.float32(0.0)
     norm = 1.0
     if force_decoder_diagonal:
@@ -55,13 +65,13 @@ def aligner_loss(model, params, batch: dict, r: int, stop_loss,
         maps = list(out['decoder_attention'].values())
         dmask = batch_diagonal_mask(maps[0].shape, dec_len, phon_len)
         for att in maps:
-            d_loss += jnp.mean(jnp.sum(att * dmask, axis=(-2, -1))) / 10.0
+            d_loss += diag_penalty(att, dmask)
         norm += len(maps)
     if force_encoder_diagonal:
         maps = list(out['encoder_attention'].values())
         dmask = batch_diagonal_mask(maps[0].shape, phon_len, phon_len)
         for att in maps:
-            d_loss += jnp.mean(jnp.sum(att * dmask, axis=(-2, -1))) / 10.0
+            d_loss += diag_penalty(att, dmask)
         norm += len(maps)
     d_loss = d_loss / norm
     total = total + d_loss

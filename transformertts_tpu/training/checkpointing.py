@@ -24,7 +24,9 @@ import numpy as np
 
 from transformertts_tpu.training.state import TrainState
 
-_CKPT_RE = re.compile(r'ckpt_(\d+)\.npz$')
+# fullmatch-anchored: '.tmp_ckpt_<n>.npz' (a torn write left by a crash
+# mid-save) must NOT be picked up as the latest checkpoint
+_CKPT_RE = re.compile(r'ckpt_(\d+)\.npz')
 
 
 def _flatten_state(state: TrainState) -> dict:
@@ -45,7 +47,7 @@ def list_checkpoints(directory) -> list:
         return []
     found = []
     for f in directory.iterdir():
-        m = _CKPT_RE.search(f.name)
+        m = _CKPT_RE.fullmatch(f.name)
         if m:
             found.append((int(m.group(1)), f))
     return sorted(found)
@@ -65,6 +67,10 @@ def save_checkpoint(directory, state: TrainState, keep_n: int = None,
     step = int(jax.device_get(state.step))
     path = directory / f'ckpt_{step}.npz'
     tmp = directory / f'.tmp_ckpt_{step}.npz'
+    # sweep torn writes left by a crash mid-save (they are never loaded —
+    # list_checkpoints fullmatches — but should not accumulate)
+    for stale in directory.glob('.tmp_ckpt_*.npz'):
+        stale.unlink(missing_ok=True)
     with open(tmp, 'wb') as f:
         np.savez(f, **_flatten_state(state))
     os.replace(tmp, path)
