@@ -18,19 +18,16 @@ TPU-first re-design (vs. the TF reference):
   iteration (models.py:279-291); here the whole loop is one XLA program and
   the stop check happens on device.
 """
-import subprocess
 from pathlib import Path
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import yaml
 
 from transformertts_tpu.nn import blocks, core, masks
 from transformertts_tpu.text import TextToTokens
-from transformertts_tpu.utils.pytree import (flatten_params, host_array,
-                                             unflatten_params)
+from transformertts_tpu.utils.pytree import host_array
 
 
 class Aligner:
@@ -101,16 +98,8 @@ class Aligner:
     # ------------------------------------------------------------------ init
 
     def _make_config(self, locals_: dict, kwargs: dict) -> dict:
-        config = {}
-        keys = [k for k in locals_.keys()
-                if (k not in kwargs) and (k not in ('self', '__class__', 'kwargs'))]
-        for k in keys:
-            if isinstance(locals_[k], dict):
-                config.update(locals_[k])
-            else:
-                config[k] = locals_[k]
-        config.update(kwargs)
-        return config
+        from transformertts_tpu.models.persistence import make_config
+        return make_config(locals_, kwargs)
 
     def init_params(self, key) -> dict:
         # one jitted call: eager init dispatches one tiny op per tensor,
@@ -362,45 +351,13 @@ class Aligner:
 
     def save_model(self, path, weights_format: str = 'npz'):
         """weights_format: 'npz', 'hdf5' (legacy Keras-2 interop), 'both'."""
-        path = Path(path)
-        path.mkdir(parents=True, exist_ok=True)
-        config = dict(self.config)
-        config['alphabet'] = ''.join(self.symbols)
-        config['step'] = int(self.step)
-        try:
-            config['git_hash'] = subprocess.check_output(
-                ['git', 'describe', '--always']).strip().decode()
-        except Exception:
-            pass
-        with open(path / 'config.yaml', 'w') as f:
-            yaml.safe_dump(config, f, allow_unicode=True)
-        if weights_format in ('npz', 'both'):
-            np.savez(path / 'model_weights.npz',
-                     **flatten_params(self.params))
-        if weights_format in ('hdf5', 'both'):
-            from transformertts_tpu.models.convert import write_legacy_h5
-            write_legacy_h5(self, path / 'model_weights.hdf5')
-        if weights_format not in ('npz', 'hdf5', 'both'):
-            raise ValueError(f'unknown weights_format {weights_format!r}')
+        from transformertts_tpu.models.persistence import save_model_dir
+        save_model_dir(self, path, weights_format)
 
     @classmethod
     def load_model(cls, path) -> 'Aligner':
-        path = Path(path)
-        with open(path / 'config.yaml') as f:
-            config = yaml.safe_load(f)
-        model = cls.from_config(config)
-        npz = path / 'model_weights.npz'
-        if npz.exists():
-            with np.load(npz) as data:
-                model.params = unflatten_params(
-                    {k: data[k] for k in data.files})
-        else:  # hdf5-only dir (legacy export or a reference artifact)
-            from transformertts_tpu.models.convert import (
-                load_reference_weights_into)
-            h5s = sorted(path.glob('*.hdf5')) + sorted(path.glob('*.h5'))
-            load_reference_weights_into(model, h5s[0])
-        model.step = int(config.get('step', 0))
-        return model
+        from transformertts_tpu.models.persistence import load_model_dir
+        return load_model_dir(cls, path)
 
     @classmethod
     def from_config(cls, config: dict, max_r: int = None) -> 'Aligner':

@@ -18,20 +18,17 @@ TPU-first re-design decisions (vs. the TF reference):
   features) then ``decode`` at a frame budget rounded up to a bucket —
   so arbitrary sentences reuse a small set of compiled programs.
 """
-import subprocess
 from pathlib import Path
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import yaml
 
 from transformertts_tpu.nn import core, blocks, masks
 from transformertts_tpu.nn.length_regulator import regulate_length
 from transformertts_tpu.text import TextToTokens
-from transformertts_tpu.utils.pytree import (flatten_params, host_array,
-                                             unflatten_params)
+from transformertts_tpu.utils.pytree import host_array
 
 FRAME_BUCKET = 128  # decode frame budgets are rounded up to multiples of this
 
@@ -117,16 +114,8 @@ class ForwardTransformer:
     # ------------------------------------------------------------------ init
 
     def _make_config(self, locals_: dict, kwargs: dict) -> dict:
-        config = {}
-        keys = [k for k in locals_.keys()
-                if (k not in kwargs) and (k not in ('self', '__class__', 'kwargs'))]
-        for k in keys:
-            if isinstance(locals_[k], dict):
-                config.update(locals_[k])
-            else:
-                config[k] = locals_[k]
-        config.update(kwargs)
-        return config
+        from transformertts_tpu.models.persistence import make_config
+        return make_config(locals_, kwargs)
 
     def init_params(self, key) -> dict:
         # one jitted call: eager init dispatches one tiny op per tensor,
@@ -446,45 +435,13 @@ class ForwardTransformer:
         weights_format: 'npz' (native), 'hdf5' (legacy Keras-2 layout the
         reference TF code can ``load_weights`` — two-way interop), or 'both'.
         """
-        path = Path(path)
-        path.mkdir(parents=True, exist_ok=True)
-        config = dict(self.config)
-        config['alphabet'] = ''.join(self.symbols)
-        config['step'] = int(self.step)
-        try:
-            config['git_hash'] = subprocess.check_output(
-                ['git', 'describe', '--always']).strip().decode()
-        except Exception:
-            pass
-        with open(path / 'config.yaml', 'w') as f:
-            yaml.safe_dump(config, f, allow_unicode=True)
-        if weights_format in ('npz', 'both'):
-            flat = flatten_params(self.params)
-            np.savez(path / 'model_weights.npz', **flat)
-        if weights_format in ('hdf5', 'both'):
-            from transformertts_tpu.models.convert import write_legacy_h5
-            write_legacy_h5(self, path / 'model_weights.hdf5')
-        if weights_format not in ('npz', 'hdf5', 'both'):
-            raise ValueError(f'unknown weights_format {weights_format!r}')
+        from transformertts_tpu.models.persistence import save_model_dir
+        save_model_dir(self, path, weights_format)
 
     @classmethod
     def load_model(cls, path: str) -> 'ForwardTransformer':
-        path = Path(path)
-        with open(path / 'config.yaml') as f:
-            config = yaml.safe_load(f)
-        model = cls.from_config(config)
-        npz = path / 'model_weights.npz'
-        if npz.exists():
-            with np.load(npz) as data:
-                flat = {k: data[k] for k in data.files}
-            model.params = unflatten_params(flat)
-        else:  # hdf5-only dir (our legacy export or a reference artifact)
-            from transformertts_tpu.models.convert import (
-                load_reference_weights_into)
-            h5s = sorted(path.glob('*.hdf5')) + sorted(path.glob('*.h5'))
-            load_reference_weights_into(model, h5s[0])
-        model.step = int(config.get('step', 0))
-        return model
+        from transformertts_tpu.models.persistence import load_model_dir
+        return load_model_dir(cls, path)
 
     @classmethod
     def from_config(cls, config: dict) -> 'ForwardTransformer':

@@ -16,10 +16,10 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
-from transformertts_tpu.parallel import mesh as mesh_lib
-from transformertts_tpu.training.state import TrainState, init_state
+from transformertts_tpu.training.base_trainer import BaseTrainer
+from transformertts_tpu.training.state import TrainState
 from transformertts_tpu.utils.losses import (masked_mean_absolute_error,
                                              new_scaled_crossentropy,
                                              weighted_sum_losses)
@@ -80,61 +80,20 @@ def aligner_loss(model, params, batch: dict, r: int, stop_loss,
     return total, (losses, out)
 
 
-class AlignerTrainer:
+class AlignerTrainer(BaseTrainer):
     """Owns optimizer + mesh; compiles one step per (shape, r, flags)."""
+
+    # (r, force_enc, force_dec[, return_attention]) select compiled variants
+    train_static_argnums = (2, 3, 4, 5)
+    val_static_argnums = (2, 3, 4)
 
     def __init__(self, model, tx: optax.GradientTransformation,
                  mesh: Optional[Mesh] = None, stop_scaling: float = 8.0,
                  base_rng_seed: int = 42):
-        self.model = model
-        self.tx = tx
-        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
-        self.base_rng = jax.random.PRNGKey(base_rng_seed)
+        super().__init__(model, tx, mesh=mesh, base_rng_seed=base_rng_seed)
         self.stop_loss = new_scaled_crossentropy(index=2, scaling=stop_scaling)
-        self._train_step = None
-        self._val_step = None
 
-    def state_shardings(self, state: TrainState):
-        specs = mesh_lib.tp_param_specs(state, self.mesh)
-        return jax.tree_util.tree_map(
-            lambda sp: NamedSharding(self.mesh, sp), specs,
-            is_leaf=lambda x: isinstance(x, P))
-
-    def init_state(self, key=None, params=None, step: int = 0) -> TrainState:
-        if params is None:
-            params = self.model.init_params(key if key is not None
-                                            else jax.random.PRNGKey(0))
-        state = init_state(params, self.tx, step)
-        if self.mesh.devices.size == 1:  # trivial mesh: plain placement
-            dev = self.mesh.devices.flat[0]
-            return jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, dev), state)
-        return jax.tree_util.tree_map(
-            jax.device_put, state, self.state_shardings(state))
-
-    def _build_steps(self, state: TrainState):
-        # Single-device mesh: plain jit — explicit NamedSharding in_shardings
-        # cost ~3x per call on remote-dispatch backends (see ForwardTrainer).
-        if self.mesh.devices.size == 1:
-            self._train_step = jax.jit(self._train_step_impl,
-                                       static_argnums=(2, 3, 4, 5),
-                                       donate_argnums=(0,))
-            self._val_step = jax.jit(self._val_step_impl,
-                                     static_argnums=(2, 3, 4))
-            return
-        state_sh = self.state_shardings(state)
-        data = NamedSharding(self.mesh, P(mesh_lib.DATA_AXIS))
-        # static args are positional: pjit rejects kwargs when in_shardings
-        # is given, and (r, flags) select the compiled variant
-        self._train_step = jax.jit(
-            self._train_step_impl,
-            static_argnums=(2, 3, 4, 5),
-            in_shardings=(state_sh, data),
-            donate_argnums=(0,))
-        self._val_step = jax.jit(
-            self._val_step_impl,
-            static_argnums=(2, 3, 4),
-            in_shardings=(state_sh, data))
+    # ------------------------------------------------------------------ steps
 
     def _train_step_impl(self, state: TrainState, batch: dict, r: int,
                          force_enc: bool, force_dec: bool,
@@ -172,13 +131,7 @@ class AlignerTrainer:
         aux['mel_mask'] = out['mel_mask']
         return aux
 
-    def shard_batch(self, batch: dict) -> dict:
-        # numeric fields only: bookkeeping entries like fname stay on host
-        batch = {k: v for k, v in batch.items()
-                 if not (hasattr(v, 'dtype') and v.dtype.kind in 'US')}
-        batch = mesh_lib.pad_batch_to_multiple(
-            batch, self.mesh.shape[mesh_lib.DATA_AXIS])
-        return mesh_lib.shard_batch(self.mesh, batch)
+    # ------------------------------------------------------------------ API
 
     def train_step(self, state: TrainState, batch: dict, r: int = None,
                    force_encoder_diagonal: bool = False,

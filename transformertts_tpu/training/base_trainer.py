@@ -1,0 +1,100 @@
+"""Shared trainer scaffolding: state placement, step compilation, batch
+sharding. Subclasses (ForwardTrainer, AlignerTrainer) define the loss and
+the ``_train_step_impl`` / ``_val_step_impl`` bodies plus their static
+argument positions.
+"""
+from typing import Optional
+
+import jax
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from transformertts_tpu.parallel import mesh as mesh_lib
+from transformertts_tpu.training.state import TrainState, init_state
+
+
+class BaseTrainer:
+    """Owns the optimizer, the mesh, and the compiled step functions."""
+
+    # positions of static jit args in _train_step_impl/_val_step_impl
+    # (after the leading state/batch pair)
+    train_static_argnums: tuple = ()
+    val_static_argnums: tuple = ()
+
+    def __init__(self, model, tx: optax.GradientTransformation,
+                 mesh: Optional[Mesh] = None, base_rng_seed: int = 42):
+        self.model = model
+        self.tx = tx
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self.base_rng = jax.random.PRNGKey(base_rng_seed)
+        self._train_step = None
+        self._val_step = None
+
+    # ------------------------------------------------------------------ state
+
+    def state_shardings(self, state: TrainState):
+        """Per-leaf NamedShardings: TP specs on wide kernels when the mesh
+        has a model axis, replication otherwise. Optimizer moments mirror the
+        parameter structure, so the same rule tree applies to them."""
+        specs = mesh_lib.tp_param_specs(state, self.mesh)
+        return jax.tree_util.tree_map(
+            lambda sp: NamedSharding(self.mesh, sp), specs,
+            is_leaf=lambda x: isinstance(x, P))
+
+    def init_state(self, key=None, params=None, step: int = 0) -> TrainState:
+        if params is None:
+            params = self.model.init_params(key if key is not None
+                                            else jax.random.PRNGKey(0))
+        state = init_state(params, self.tx, step)
+        if self.mesh.devices.size == 1:  # trivial mesh: plain placement
+            dev = self.mesh.devices.flat[0]
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, dev), state)
+        return jax.tree_util.tree_map(
+            jax.device_put, state, self.state_shardings(state))
+
+    # ------------------------------------------------------------------ steps
+
+    def _build_steps(self, state: TrainState):
+        # Single-device mesh: plain jit. Explicit NamedSharding in_shardings
+        # compile to an SPMD executable whose per-call overhead is ~3x the
+        # step itself on remote-dispatch backends (measured 130 ms vs 43 ms
+        # at the published scale) and buys nothing without a second device.
+        if self.mesh.devices.size == 1:
+            self._train_step = jax.jit(
+                self._train_step_impl,
+                static_argnums=self.train_static_argnums,
+                donate_argnums=(0,))
+            self._val_step = jax.jit(
+                self._val_step_impl,
+                static_argnums=self.val_static_argnums)
+            return
+        state_sh = self.state_shardings(state)
+        data = NamedSharding(self.mesh, P(mesh_lib.DATA_AXIS))
+        # static args are positional: pjit rejects kwargs when in_shardings
+        # is given
+        self._train_step = jax.jit(
+            self._train_step_impl,
+            static_argnums=self.train_static_argnums,
+            in_shardings=(state_sh, data),
+            donate_argnums=(0,))
+        self._val_step = jax.jit(
+            self._val_step_impl,
+            static_argnums=self.val_static_argnums,
+            in_shardings=(state_sh, data))
+
+    def _train_step_impl(self, state: TrainState, batch: dict, *args):
+        raise NotImplementedError
+
+    def _val_step_impl(self, state: TrainState, batch: dict, *args):
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------ API
+
+    def shard_batch(self, batch: dict) -> dict:
+        # numeric fields only: bookkeeping entries like fname stay on host
+        batch = {k: v for k, v in batch.items()
+                 if not (hasattr(v, 'dtype') and v.dtype.kind in 'US')}
+        batch = mesh_lib.pad_batch_to_multiple(
+            batch, self.mesh.shape[mesh_lib.DATA_AXIS])
+        return mesh_lib.shard_batch(self.mesh, batch)

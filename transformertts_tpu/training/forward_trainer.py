@@ -18,10 +18,10 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
-from transformertts_tpu.parallel import mesh as mesh_lib
-from transformertts_tpu.training.state import TrainState, init_state
+from transformertts_tpu.training.base_trainer import BaseTrainer
+from transformertts_tpu.training.state import TrainState
 from transformertts_tpu.utils.losses import (masked_mean_absolute_error,
                                              weighted_sum_losses)
 
@@ -56,62 +56,14 @@ def forward_loss(model, params, batch: dict, rng, deterministic: bool):
     return total, (losses, out)
 
 
-class ForwardTrainer:
+class ForwardTrainer(BaseTrainer):
     """Owns the optimizer, the mesh, and the compiled step functions."""
 
     def __init__(self, model, tx: optax.GradientTransformation,
                  mesh: Optional[Mesh] = None, base_rng_seed: int = 42,
                  return_attention: bool = False):
-        self.model = model
-        self.tx = tx
-        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
-        self.base_rng = jax.random.PRNGKey(base_rng_seed)
+        super().__init__(model, tx, mesh=mesh, base_rng_seed=base_rng_seed)
         self.return_attention = return_attention
-        self._train_step = None
-        self._val_step = None
-
-    # ------------------------------------------------------------------ state
-
-    def state_shardings(self, state: TrainState):
-        """Per-leaf NamedShardings: TP specs on wide kernels when the mesh
-        has a model axis, replication otherwise. Optimizer moments mirror the
-        parameter structure, so the same rule tree applies to them."""
-        specs = mesh_lib.tp_param_specs(state, self.mesh)
-        return jax.tree_util.tree_map(
-            lambda sp: NamedSharding(self.mesh, sp), specs,
-            is_leaf=lambda x: isinstance(x, P))
-
-    def init_state(self, key=None, params=None, step: int = 0) -> TrainState:
-        if params is None:
-            params = self.model.init_params(key if key is not None
-                                            else jax.random.PRNGKey(0))
-        state = init_state(params, self.tx, step)
-        if self.mesh.devices.size == 1:  # trivial mesh: plain placement
-            dev = self.mesh.devices.flat[0]
-            return jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, dev), state)
-        return jax.tree_util.tree_map(
-            jax.device_put, state, self.state_shardings(state))
-
-    def _build_steps(self, state: TrainState):
-        # Single-device mesh: plain jit. Explicit NamedSharding in_shardings
-        # compile to an SPMD executable whose per-call overhead is ~3x the
-        # step itself on remote-dispatch backends (measured 130 ms vs 43 ms
-        # at the published scale) and buys nothing without a second device.
-        if self.mesh.devices.size == 1:
-            self._train_step = jax.jit(self._train_step_impl,
-                                       donate_argnums=(0,))
-            self._val_step = jax.jit(self._val_step_impl)
-            return
-        state_sh = self.state_shardings(state)
-        data = NamedSharding(self.mesh, P(mesh_lib.DATA_AXIS))
-        self._train_step = jax.jit(
-            self._train_step_impl,
-            in_shardings=(state_sh, data),
-            donate_argnums=(0,))
-        self._val_step = jax.jit(
-            self._val_step_impl,
-            in_shardings=(state_sh, data))
 
     # ------------------------------------------------------------------ steps
 
@@ -142,14 +94,6 @@ class ForwardTrainer:
         return aux
 
     # ------------------------------------------------------------------ API
-
-    def shard_batch(self, batch: dict) -> dict:
-        # numeric fields only: bookkeeping entries like fname stay on host
-        batch = {k: v for k, v in batch.items()
-                 if not (hasattr(v, 'dtype') and v.dtype.kind in 'US')}
-        batch = mesh_lib.pad_batch_to_multiple(
-            batch, self.mesh.shape[mesh_lib.DATA_AXIS])
-        return mesh_lib.shard_batch(self.mesh, batch)
 
     def train_step(self, state: TrainState, batch: dict):
         if self._train_step is None:
