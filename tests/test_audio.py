@@ -285,3 +285,24 @@ def test_wavernn_data_config_loads():
         assert 'WaveRNN_default' in str(cm.mel_dir)
         audio = Audio.from_config(cm.config)
         assert audio.normalizer.__class__.__name__ == 'WaveRNN'
+
+
+def test_reconstruct_waveform_batch_degenerate_mel():
+    """A 1-frame mel batch must edge-pad like the single-sample path, not
+    silently return empty waveforms."""
+    audio = Audio(sampling_rate=SR, n_fft=512, mel_channels=20,
+                  hop_length=128, win_length=512, f_min=0, f_max=8000,
+                  normalizer='MelGAN', griffin_lim_iters=2)
+    mels = np.random.default_rng(0).standard_normal((2, 1, 20)).astype(np.float32)
+    wavs = audio.reconstruct_waveform_batch(mels, n_iter=2)
+    assert wavs.shape[0] == 2 and wavs.shape[1] > 0
+    assert np.all(np.isfinite(wavs))
+
+
+def test_dataset_empty_raises():
+    from transformertts_tpu.data.datasets import BucketedDataset
+    ds = BucketedDataset([], load_fn=lambda s: {}, len_fn=lambda d: 1,
+                         mel_channels=4, bucket_boundaries=[10],
+                         bucket_batch_sizes=[2, 2])
+    with pytest.raises(RuntimeError, match='no batches'):
+        ds.next_batch()

@@ -33,3 +33,13 @@ def test_text_to_tokens_roundtrip():
     tokens = pipeline('The quick brown fox.')
     assert isinstance(tokens, list)
     assert all(isinstance(t, int) and t > 0 for t in tokens)
+
+
+def test_lexicon_entries_reachable():
+    """Regression: two lexicon keys contained an invisible zero-width space
+    (U+200B) and could never match real words."""
+    from transformertts_tpu.text.g2p import _LEXICON, _FUNCTION_WORDS
+    assert 'something' in _LEXICON and _LEXICON['something'] == 'sʌmθɪŋ'
+    assert 'weren' in _LEXICON
+    assert all(w.isascii() for w in _FUNCTION_WORDS)
+    assert all('​' not in w for w in _LEXICON)

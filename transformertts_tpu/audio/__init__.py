@@ -166,7 +166,7 @@ class Audio:
     def reconstruct_waveform(self, mel, n_iter: int = None) -> np.ndarray:
         """Normalized log-mel (n_frames, mel_channels) → waveform via
         pseudo-inverse mel + on-device Griffin-Lim."""
-        n_iter = n_iter or self.griffin_lim_iters
+        n_iter = n_iter if n_iter is not None else self.griffin_lim_iters
         mel = jnp.asarray(mel, jnp.float32)
         if mel.ndim == 2 and mel.shape[0] == self.mel_channels:
             mel = mel.T  # accept (mels, frames) like the reference
@@ -187,8 +187,15 @@ class Audio:
         """Batched Griffin-Lim: (B, n_frames, mel_channels) normalized log-mel
         → (B, T) waveforms, one vmapped device call."""
         import jax
-        n_iter = n_iter or self.griffin_lim_iters
+        n_iter = n_iter if n_iter is not None else self.griffin_lim_iters
         mels = jnp.asarray(mels, jnp.float32)
+        # degenerate (untrained-model) mels: Griffin-Lim's padded-domain
+        # iteration needs n_fft//hop frames; edge-pad like the single path
+        min_frames = max(self.n_fft // self.hop_length, 2)
+        if mels.shape[1] < min_frames:
+            reps = min_frames - mels.shape[1]
+            mels = jnp.concatenate(
+                [mels, jnp.repeat(mels[:, -1:], reps, axis=1)], axis=1)
         amp = self._denormalize(mels)
         S = griffinlim.mel_to_linear(amp, self.sampling_rate, self.n_fft,
                                      self.f_min, self.f_max)

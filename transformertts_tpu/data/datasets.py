@@ -365,6 +365,7 @@ class BucketedDataset:
 
     def next_batch(self) -> dict:
         """Infinite iterator over epochs (reference next_batch)."""
+        empty_epochs = 0
         while True:
             if self._iter is None:
                 self._iter = self._prefetched(self._epoch_batches())
@@ -372,6 +373,13 @@ class BucketedDataset:
                 return next(self._iter)
             except StopIteration:
                 self._iter = None
+                # an epoch with zero batches (empty/mis-pathed metadata)
+                # would otherwise busy-loop forever spawning prefetchers
+                empty_epochs += 1
+                if empty_epochs >= 2:
+                    raise RuntimeError(
+                        'dataset produced no batches — empty sample list? '
+                        f'({len(self.samples)} samples)')
 
     def all_batches(self):
         """One full pass, in order (reference all_batches)."""

@@ -81,7 +81,7 @@ def _flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     tk_pad = _round_up(tk, 128)
     # blocks may span the FULL head dim (Mosaic allows trailing block dims
     # equal to the array dim), so only pad d when it breaks sublane tiling
-    d_pad = d if d % 8 == 0 else _round_up(d, 8)
+    d_pad = _round_up(d, 8)
 
     qf = jnp.zeros((b * h, tq_pad, d_pad), q.dtype)
     qf = qf.at[:, :tq, :d].set(q.reshape(b * h, tq, d))

@@ -42,7 +42,7 @@ _LEXICON: Dict[str, str] = {
     'any': 'ɛni', 'our': 'aʊɚ', 'over': 'oʊvɚ', 'know': 'noʊ',
     'only': 'oʊnli', 'here': 'hɪɹ', 'also': 'ɔːlsoʊ', 'after': 'æftɚ',
     'again': 'ɐɡɛn', 'before': 'bɪfɔːɹ', 'through': 'θɹuː', 'where': 'wɛɹ',
-    'should': 'ʃʊd', 'because': 'bɪkʌz', 'come': 'kʌm', 'some​thing': 'sʌmθɪŋ',
+    'should': 'ʃʊd', 'because': 'bɪkʌz', 'come': 'kʌm', 'something': 'sʌmθɪŋ',
     'give': 'ɡɪv', 'day': 'deɪ', 'most': 'moʊst', 'once': 'wʌns',
     'love': 'lʌv', 'done': 'dʌn', 'gone': 'ɡɔːn', 'none': 'nʌn',
     'great': 'ɡɹeɪt', 'eye': 'aɪ', 'eyes': 'aɪz', 'heart': 'hɑːɹt',
@@ -52,7 +52,7 @@ _LEXICON: Dict[str, str] = {
     'thought': 'θɔːt', 'enough': 'ɪnʌf', 'laugh': 'læf', 'island': 'aɪlənd',
     'hour': 'aʊɚ', 'honest': 'ɑːnɪst', 'answer': 'ænsɚ', 'often': 'ɔːfən',
     'listen': 'lɪsən', 'half': 'hæf', 'talk': 'tɔːk', 'walk': 'wɔːk',
-    'live': 'lɪv', 'lives': 'lɪvz', 'were​n': 'wɜːn',
+    'live': 'lɪv', 'lives': 'lɪvz', 'weren': 'wɜːn',
     'mr': 'mɪstɚ', 'mrs': 'mɪsɪz', 'dr': 'dɑːktɚ', 'st': 'seɪnt',
 }
 
@@ -99,7 +99,7 @@ _NUMBER_WORDS = {
 
 _FUNCTION_WORDS = {
     'a', 'an', 'the', 'of', 'to', 'and', 'in', 'is', 'it', 'that', 'as',
-    'at', 'on', 'or', 'by', 'for', 'but', 'if', 'so', 'был', 'be',
+    'at', 'on', 'or', 'by', 'for', 'but', 'if', 'so', 'was', 'be',
 }
 
 

@@ -63,9 +63,22 @@ class Phonemizer:
                  language=None) -> Union[str, list]:
         language = language or self.language
         with_stress = self.with_stress if with_stress is None else with_stress
+        njobs = self.njobs if njobs is None else njobs
         text = _per_string(self._shield_hyphens, text)
-        phonemes = _per_string(
-            lambda t: self._phonemize_string(t, language, with_stress), text)
+        if isinstance(text, list) and njobs > 1 and len(text) > 1 \
+                and self.backend == 'espeak':
+            # espeak runs as a subprocess per clause — threads parallelize
+            # the process waits (the builtin G2P is pure CPU Python, where
+            # threads would not help)
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=njobs) as pool:
+                phonemes = list(pool.map(
+                    lambda t: self._phonemize_string(t, language, with_stress),
+                    text))
+        else:
+            phonemes = _per_string(
+                lambda t: self._phonemize_string(t, language, with_stress),
+                text)
         return _per_string(self._clean_phonemes, phonemes)
 
     # backends ---------------------------------------------------------------

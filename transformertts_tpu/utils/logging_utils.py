@@ -5,8 +5,10 @@ Capability parity with the reference (utils/logging_utils.py:24-200):
   chart;
 - scalars, images (attention-head grids, mel plots), histograms, audio
   (on-the-fly Griffin-Lim of predicted mels into TensorBoard), text;
-- ``@control_frequency`` plot throttling and ``@ignore_exception`` so logging
-  can never kill a run.
+- a ``control_frequency`` throttle decorator (available to callers — the
+  train CLIs do their own step-gating of plot calls, so SummaryManager's
+  display methods are deliberately NOT decorated to avoid double
+  throttling) and ``@ignore_exception`` so logging can never kill a run.
 
 Backed by the framework's own TF-free event writer (utils/event_writer.py).
 """
@@ -46,6 +48,8 @@ class SummaryManager:
         self.default_writer = default_writer
         self.writers: Dict[str, EventWriter] = {}
         self.add_writer(default_writer, self.log_dir)
+        # available for control_frequency-decorated subclass methods; the
+        # shipped CLIs gate their plot calls by step themselves
         self.plot_frequency = int(config.get(
             'train_images_plotting_frequency', 1) or 1)
 

@@ -19,7 +19,13 @@ import jax.numpy as jnp
 
 
 def attention_jumps_score(att: jax.Array, mel_len: jax.Array, r: int = 1) -> jax.Array:
-    """Fraction of consecutive argmax steps that move forward by 0..r.
+    """Fraction of consecutive argmax steps whose |move| is ≤ r.
+
+    Deliberate quirk parity with the reference (utils/metrics.py:27-33):
+    the diff is abs()'d, so the ``>= 0`` term is vacuous and a backward
+    move of ≤ r scores the same as a forward one. This score drives head
+    selection in duration extraction, so the formula must match the
+    reference exactly to reproduce its duration artifacts.
 
     att: (B, H, M, N); mel_len: (B,). Returns (B, H).
     """
