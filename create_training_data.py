@@ -120,6 +120,10 @@ def main(argv=None):
 
     reader = DataReader.from_config(cm, kind='original', scan_wavs=True)
     names = [n for n in reader.filenames if n in reader.wav_paths]
+    # sort by on-disk size (≈ duration, known without loading) so each
+    # device featurization batch groups similar-length clips — arrival-order
+    # groups pad every clip to the longest in the group
+    names.sort(key=lambda n: reader.wav_paths[n].stat().st_size)
     print(f'{len(names)} wavs found')
 
     if not args.skip_mels:

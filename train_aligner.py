@@ -205,12 +205,15 @@ def main(argv=None):
         if plot_step:
             mel_len = np.sum((np.abs(batch['mel']).sum(-1) > 0), axis=-1)
             phon_len = np.sum(batch['tokens'] != 0, axis=-1)
-            n_real = len(mel_len)  # aux tensors are padded to the mesh multiple
+            # drop zero-padded rows from BOTH sources of padding — the
+            # ragged-bucket collation and the mesh multiple — or their
+            # 0-length samples blow diagonality up to ~1/eps in the logs
+            real = (mel_len > 0) & (phon_len > 0)
             for name, attn in aux['decoder_attention'].items():
-                attn = np.asarray(attn)[:n_real]
+                attn = np.asarray(attn)[:len(mel_len)][real]
                 loc, peak, diag = attention_score(
-                    attn, np.asarray(mel_len // r),
-                    np.asarray(phon_len), r=1)
+                    attn, np.asarray(mel_len[real] // r),
+                    np.asarray(phon_len[real]), r=1)
                 summary_manager.add_scalar(
                     f'AttentionJumpiness/{name}', float(np.mean(loc)), step)
                 summary_manager.add_scalar(

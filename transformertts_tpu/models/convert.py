@@ -276,8 +276,17 @@ def load_reference_checkpoint(model_dir):
         config = yaml.safe_load(f)
     from transformertts_tpu.models.forward_tts import ForwardTransformer
     model = ForwardTransformer.from_config(config)
-    weights = list(model_dir.glob('*.h5')) + list(model_dir.glob('*.hdf5'))
-    load_reference_weights_into(model, weights[0])
+    canonical = model_dir / 'model_weights.hdf5'
+    if canonical.exists():
+        weights_path = canonical
+    else:
+        candidates = sorted(model_dir.glob('*.hdf5')) + \
+            sorted(model_dir.glob('*.h5'))
+        if not candidates:
+            raise FileNotFoundError(
+                f'no hdf5 weights found under {model_dir}')
+        weights_path = candidates[0]
+    load_reference_weights_into(model, weights_path)
     model.step = int(config.get('step', 0))
     return model
 

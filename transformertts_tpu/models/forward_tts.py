@@ -253,6 +253,16 @@ class ForwardTransformer:
         wav = wav / jnp.maximum(peak, 1.0)
         return (wav * 32767.0).astype(jnp.int16)
 
+    @staticmethod
+    def _mask_mel_to_silence(dec: dict, silence: float):
+        """Replace zero-masked padding frames with the normalizer's SILENCE
+        level before any waveform stage: 0.0 in normalized log-mel space is
+        amplitude 1.0 (loud), so zero padding would bleed noise into clip
+        tails through Griffin-Lim / the vocoder's receptive field and could
+        dominate PCM16 peak normalization."""
+        valid = (1.0 - dec['expanded_mask'][:, 0, 0, :])[:, :, None]
+        return dec['mel'] * valid + silence * (1.0 - valid)
+
     def _decode_wav_jit(self, audio, n_iter: int):
         """Batched decode → denorm → mel inversion → Griffin-Lim, fused into
         ONE jitted dispatch (the serving-path analogue of ``predict_wav``).
@@ -267,13 +277,15 @@ class ForwardTransformer:
         key = (id(audio), n_iter)
         if key not in self._jit_decode_wav:
             from transformertts_tpu.audio import griffinlim
+            silence = float(np.asarray(audio.normalizer.normalize(
+                np.full((1, 1), 1e-10, np.float32)))[0, 0])
 
             def fn(params, features, pitch, durations, durations_scalar,
                    keep, max_frames):
                 dec = self._decode_features(params, features, pitch,
                                             durations, durations_scalar,
                                             keep, max_frames)
-                mel = dec['mel']
+                mel = self._mask_mel_to_silence(dec, silence)
                 amp = audio._denormalize(mel)
                 S = griffinlim.mel_to_linear(
                     amp, audio.sampling_rate, audio.n_fft, audio.f_min,
@@ -293,13 +305,16 @@ class ForwardTransformer:
         Returns ``(pcm16_wav_batch, mel_batch)``."""
         key = ('vocoder', id(vocoder))
         if key not in self._jit_decode_wav:
+            from transformertts_tpu.models.melgan import LOG_MEL_SILENCE
+
             def fn(params, voc_params, features, pitch, durations,
                    durations_scalar, keep, max_frames):
                 dec = self._decode_features(params, features, pitch,
                                             durations, durations_scalar,
                                             keep, max_frames)
-                wav = vocoder.apply(voc_params, dec['mel'])
-                return self._to_pcm16(wav), dec['mel']
+                mel = self._mask_mel_to_silence(dec, LOG_MEL_SILENCE)
+                wav = vocoder.apply(voc_params, mel)
+                return self._to_pcm16(wav), mel
             self._jit_decode_wav[key] = jax.jit(
                 fn, static_argnames=('max_frames',))
         return self._jit_decode_wav[key]
@@ -326,9 +341,13 @@ class ForwardTransformer:
         n_pad = max(32, -(-n_orig // 32) * 32)
         tokens = np.pad(tokens, ((0, 0), (0, n_pad - n_orig)))
         n_iter = n_iter or audio.griffin_lim_iters
-        key = (max_frames, n_iter, audio.n_fft)
+        # id(audio): the closure bakes in the normalizer math (see
+        # _decode_wav_jit); the closure keeps audio alive
+        key = (max_frames, n_iter, id(audio))
         if key not in self._jit_predict_wav:
             from transformertts_tpu.audio import griffinlim
+            silence = float(np.asarray(audio.normalizer.normalize(
+                np.full((1, 1), 1e-10, np.float32)))[0, 0])
 
             def fn(params, tok, scalar):
                 enc = self.encode(params, tok, deterministic=True)
@@ -337,7 +356,7 @@ class ForwardTransformer:
                 use = enc['durations'][:, :, 0] * scalar * enc['keep_mask'][:, :, 0]
                 dec = self.decode(params, x, use, max_frames,
                                   deterministic=True)
-                mel = dec['mel'][0]
+                mel = self._mask_mel_to_silence(dec, silence)[0]
                 n_frames = jnp.sum(jnp.round(use)).astype(jnp.int32) + 1
                 amp = audio._denormalize(mel)
                 S = griffinlim.mel_to_linear(amp, audio.sampling_rate,

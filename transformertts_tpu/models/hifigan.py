@@ -210,11 +210,6 @@ class HiFiGANVocoder:
         """Load a jik876/hifi-gan checkpoint file (``{'generator': sd}``
         training checkpoints or a bare state_dict). ``config``: the dict
         from the checkpoint's config.json; v1 defaults if omitted."""
-        import torch
-        blob = torch.load(path, map_location='cpu', weights_only=False)
-        if hasattr(blob, 'state_dict'):
-            blob = blob.state_dict()
-        if isinstance(blob, dict) and 'generator' in blob:
-            blob = blob['generator']
+        from transformertts_tpu.models.vocoder import unwrap_torch_checkpoint
         return cls.from_torch_state_dict(
-            {k: v.numpy() for k, v in blob.items()}, config, mel_channels)
+            unwrap_torch_checkpoint(path), config, mel_channels)

@@ -222,14 +222,9 @@ class MelGANVocoder:
     def from_torch_checkpoint(cls, path, mel_channels: int = 80):
         """Load a torch checkpoint file (hub weights or a training ckpt
         with a ``model_g`` entry)."""
-        import torch
-        blob = torch.load(path, map_location='cpu', weights_only=False)
-        if hasattr(blob, 'state_dict'):
-            blob = blob.state_dict()
-        if isinstance(blob, dict) and 'model_g' in blob:
-            blob = blob['model_g']
+        from transformertts_tpu.models.vocoder import unwrap_torch_checkpoint
         return cls.from_torch_state_dict(
-            {k: v.numpy() for k, v in blob.items()}, mel_channels)
+            unwrap_torch_checkpoint(path), mel_channels)
 
 
 # ----------------------------------------------------------------- helpers

@@ -12,12 +12,15 @@ import json
 from pathlib import Path
 
 
-def load_vocoder(path, mel_channels: int = 80):
-    """Load a MelGAN or HiFi-GAN torch checkpoint as a TPU generator."""
-    import torch
-    from transformertts_tpu.models.melgan import MelGANVocoder
-    from transformertts_tpu.models.hifigan import HiFiGANVocoder
+def unwrap_torch_checkpoint(path) -> dict:
+    """torch checkpoint file → numpy state dict.
 
+    Handles whole-module saves (``.state_dict()``), MelGAN trainer
+    checkpoints (``{'model_g': sd}``) and HiFi-GAN trainer checkpoints
+    (``{'generator': sd}``). The single unwrapping used by load_vocoder and
+    both vocoders' ``from_torch_checkpoint``.
+    """
+    import torch
     blob = torch.load(path, map_location='cpu', weights_only=False)
     if hasattr(blob, 'state_dict'):
         blob = blob.state_dict()
@@ -26,7 +29,15 @@ def load_vocoder(path, mel_channels: int = 80):
     if isinstance(blob, dict) and 'generator' in blob and \
             hasattr(blob['generator'], 'keys'):          # HiFi-GAN trainer ckpt
         blob = blob['generator']
-    sd = {k: v.numpy() for k, v in blob.items()}
+    return {k: v.numpy() for k, v in blob.items()}
+
+
+def load_vocoder(path, mel_channels: int = 80):
+    """Load a MelGAN or HiFi-GAN torch checkpoint as a TPU generator."""
+    from transformertts_tpu.models.melgan import MelGANVocoder
+    from transformertts_tpu.models.hifigan import HiFiGANVocoder
+
+    sd = unwrap_torch_checkpoint(path)
 
     if any(k.startswith('conv_pre.') for k in sd):
         cfg_path = Path(path).parent / 'config.json'

@@ -20,14 +20,21 @@ _tried = False
 
 
 def _build() -> bool:
+    # compile to a per-process temp name and atomically rename: multiple
+    # spawned preprocessing workers build concurrently on first use, and a
+    # non-atomic write would let another process dlopen a truncated .so
+    import os
+    tmp = _CSRC / f'.libnative_ops.{os.getpid()}.so'
     try:
         subprocess.run(
             ['g++', '-O3', '-shared', '-fPIC', '-pthread', '-std=c++17',
-             str(_CSRC / 'native_ops.cpp'), '-o', str(_LIB_PATH)],
+             str(_CSRC / 'native_ops.cpp'), '-o', str(tmp)],
             check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB_PATH)
         return True
     except Exception as e:
         print(f'native_ops build failed: {e}')
+        tmp.unlink(missing_ok=True)
         return False
 
 
