@@ -149,6 +149,36 @@ def test_serving_warmup_and_ragged_batches(tiny_model):
             (line, len(wav), expected)
 
 
+def test_fused_decode_wav_padding_is_silent(tiny_model):
+    """Regression: padding frames after the predicted length must be filled
+    with the normalizer's silence level before Griffin-Lim — zero-masked
+    mel is amplitude 1.0 in normalized log space and previously bled loud
+    noise into the padded tail of every serving chunk."""
+    from transformertts_tpu.audio import Audio
+    audio = Audio(sampling_rate=22050, n_fft=512,
+                  mel_channels=tiny_model.mel_channels,
+                  hop_length=128, win_length=512, f_min=0, f_max=8000,
+                  normalizer='MelGAN', griffin_lim_iters=4)
+    tok = np.asarray([tiny_model.encode_text('a few words here')], np.int32)
+    features, durations, pitch, keep = tiny_model._encode_jit()(
+        tiny_model.params, jnp.asarray(tok))
+    totals = int(np.round(np.asarray(durations)[0, :, 0]
+                          * np.asarray(keep)[0, :, 0]).sum()) + 1
+    frames = 256  # budget far beyond the predicted length
+    wav16, mel = tiny_model._decode_wav_jit(audio, 4)(
+        tiny_model.params, features, pitch, durations,
+        jnp.asarray(np.float32(1.0)), keep, frames)
+    mel = np.asarray(mel)
+    # padded mel region sits at the silence level, not 0
+    silence = float(np.log(audio.normalizer.clip_min))
+    np.testing.assert_allclose(mel[0, totals + 2:], silence, atol=1e-3)
+    wav = np.asarray(wav16[0]).astype(np.float32) / 32767.0
+    tail = wav[(totals + 4) * audio.hop_length:]
+    head = wav[: max(totals - 1, 1) * audio.hop_length]
+    if len(tail) and np.sqrt(np.mean(head ** 2)) > 1e-4:
+        assert np.sqrt(np.mean(tail ** 2)) < 0.05 * np.sqrt(np.mean(head ** 2))
+
+
 def test_batch_bucket_menu():
     from transformertts_tpu.models.synthesis import _batch_bucket
     assert [_batch_bucket(b, 32) for b in (1, 2, 3, 5, 17, 31, 32, 40)] == \
