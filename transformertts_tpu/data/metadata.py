@@ -53,6 +53,10 @@ def post_processed_reader(metadata_path, column_sep: str = '|',
         if not line.strip():
             continue
         parts = line.split(column_sep)
+        if len(parts) < 2:
+            # tolerate a truncated trailing line (interrupted write), like
+            # the ljspeech reader does with malformed rows
+            continue
         filename, text = parts[0], parts[1].strip('\n')
         if any(ch in text for ch in upsample_indicators):
             upsample.extend([filename] * upsample_factor)

@@ -72,6 +72,8 @@ def load_model_dir(cls, path):
         from transformertts_tpu.models.convert import (
             load_reference_weights_into)
         h5s = sorted(path.glob('*.hdf5')) + sorted(path.glob('*.h5'))
+        if not h5s:
+            raise FileNotFoundError(f'no model weights under {path}')
         load_reference_weights_into(model, h5s[0])
     model.step = int(config.get('step', 0))
     return model

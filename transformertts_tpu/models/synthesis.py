@@ -77,8 +77,8 @@ def _dispatch_decode_wav(model, audio, vocoder, n_iter, params, voc_params,
             params, voc_params, features, pitch, durations,
             jnp.asarray(scalar), keep, frames)
         return wav_dev, vocoder.hop_length
-    wav_dev, _ = model._decode_wav_jit(
-        audio, n_iter or audio.griffin_lim_iters)(
+    n_iter = n_iter if n_iter is not None else audio.griffin_lim_iters
+    wav_dev, _ = model._decode_wav_jit(audio, n_iter)(
         params, features, pitch, durations,
         jnp.asarray(scalar), keep, frames)
     return wav_dev, audio.hop_length
@@ -101,10 +101,17 @@ def synthesize_lines(model, audio, lines: Sequence[str],
     max_batch = _round_up(max_batch, n_data)
 
     entries = []   # (orig_idx, tokens)
+    wavs: List[np.ndarray] = [None] * len(lines)
     for i, line in enumerate(lines):
-        tokens = model.encode_text(line)
-        entries.append((i, np.asarray(tokens, np.int32)))
-    wavs: List[np.ndarray] = [None] * len(entries)
+        tokens = np.asarray(model.encode_text(line), np.int32)
+        if tokens.size == 0:
+            # phonemization dropped every character (foreign symbols etc.);
+            # a zero-token row would give the encoder a zero-width input
+            wavs[i] = np.zeros((0,), np.float32)
+            continue
+        entries.append((i, tokens))
+    if not entries:
+        return wavs
 
     # Length-grouped chunking: sort by token count, cut into max_batch-sized
     # chunks, pad each chunk to its own bucketed max length. This yields the
@@ -156,7 +163,7 @@ def synthesize_lines(model, audio, lines: Sequence[str],
             model, audio, vocoder, n_iter, params, voc_params,
             features, pitch, durations, scalar, keep, frames)
         pending.append((chunk, totals, wav_dev, hop))
-        if len(pending) > MAX_INFLIGHT:
+        if len(pending) >= MAX_INFLIGHT:
             fetch(*pending.popleft())
     while pending:
         fetch(*pending.popleft())
@@ -167,7 +174,7 @@ def warmup_serving(model, audio, max_batch: int = 32,
                    token_buckets: Sequence[int] = (32, 64, 96, 128),
                    frame_buckets: Sequence[int] = (128, 256, 384),
                    n_iter: int = None, vocoder=None,
-                   include_ragged_batches: bool = False,
+                   include_ragged_batches: bool = True,
                    mesh=None) -> int:
     """Precompile the serving executable menu so no request ever compiles.
 

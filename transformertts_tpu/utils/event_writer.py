@@ -56,6 +56,10 @@ def _masked_crc(data: bytes) -> int:
 # ----------------------------------------------------- protobuf primitives
 
 def _varint(n: int) -> bytes:
+    # protobuf encodes negative int64 as its 64-bit two's complement
+    # (10-byte varint); Python's arithmetic shift would loop forever on
+    # negative n, so mask to 64 bits first
+    n &= (1 << 64) - 1
     out = bytearray()
     while True:
         bits = n & 0x7F
