@@ -76,3 +76,42 @@ def test_reference_usage_snippet_runs(model):
     out = model.predict('hello')
     mel_t = out['mel'].numpy().T
     assert mel_t.shape[0] == 12
+
+
+def test_factory_two_level_cache_lookup(model, tmp_path, monkeypatch):
+    """tts_ljspeech consults $TRANSFORMERTTS_MODELS_DIR first, then the
+    home cache — a model present only in the home cache must load without
+    a download attempt even when the env dir is set."""
+    name = 'bdf06b9_ljspeech_step_95000'
+    home = tmp_path / 'home'
+    (home / '.cache' / 'transformertts_tpu' / 'models').mkdir(parents=True)
+    model.save_model(home / '.cache' / 'transformertts_tpu' / 'models' / name)
+    envdir = tmp_path / 'envdir'
+    envdir.mkdir()
+    monkeypatch.setenv('HOME', str(home))
+    monkeypatch.setenv('TRANSFORMERTTS_MODELS_DIR', str(envdir))
+    from transformertts_tpu.models import factory
+    loaded = factory.tts_ljspeech('95000')
+    assert loaded.mel_channels == model.mel_channels
+
+
+def test_factory_load_model_dir_noncanonical_h5_name(model, tmp_path):
+    """A dir whose weights carry a non-canonical *.hdf5 name still loads
+    (delegated to the converter's glob)."""
+    d = tmp_path / 'm'
+    model.save_model(d, weights_format='both')
+    (d / 'model_weights.npz').unlink()
+    (d / 'model_weights.hdf5').rename(d / 'forward_step_99.hdf5')
+    from transformertts_tpu.models.factory import load_model_dir
+    loaded = load_model_dir(d)
+    assert loaded.mel_channels == model.mel_channels
+
+
+def test_apply_platform_env(monkeypatch):
+    """JAX_PLATFORMS is re-applied through jax.config (ambient PJRT plugins
+    override the env var)."""
+    import jax
+    from transformertts_tpu.utils.scripts_utils import apply_platform_env
+    monkeypatch.setenv('JAX_PLATFORMS', 'cpu')
+    apply_platform_env()   # backends already initialized on cpu: no-op OK
+    assert jax.devices()[0].platform == 'cpu'
