@@ -188,6 +188,26 @@ def test_batch_bucket_menu():
         [4, 4, 8, 32]
 
 
+def test_mesh_warmup_serving(tiny_model):
+    """warmup_serving over a data mesh precompiles the SPMD executables and
+    leaves model.params unmutated."""
+    from transformertts_tpu.audio import Audio
+    from transformertts_tpu.models.synthesis import warmup_serving
+    from transformertts_tpu.parallel import MeshConfig, make_mesh
+    audio = Audio(sampling_rate=22050, n_fft=512,
+                  mel_channels=tiny_model.mel_channels,
+                  hop_length=128, win_length=512, f_min=0, f_max=8000,
+                  normalizer='MelGAN', griffin_lim_iters=2)
+    mesh = make_mesh(MeshConfig(data=2, model=1), devices=jax.devices()[:2])
+    before = jax.tree_util.tree_leaves(tiny_model.params)[0]
+    n = warmup_serving(tiny_model, audio, max_batch=4, token_buckets=(32,),
+                       frame_buckets=(128,), n_iter=2, mesh=mesh,
+                       include_ragged_batches=False)
+    assert n == 1
+    after = jax.tree_util.tree_leaves(tiny_model.params)[0]
+    assert before.sharding == after.sharding  # params not re-committed
+
+
 def test_mesh_sharded_serving_matches_single_device(tiny_model):
     """synthesize_lines over a 4-device data mesh == single-device output."""
     from transformertts_tpu.audio import Audio
