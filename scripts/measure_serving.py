@@ -30,6 +30,9 @@ def main():
     p.add_argument('--lines', type=int, default=128)
     p.add_argument('--reps', type=int, default=3)
     p.add_argument('--data_parallel', type=int, default=1)
+    p.add_argument('--vocoder', choices=['none', 'melgan'], default='none',
+                   help="'melgan': published-topology MelGAN generator "
+                        '(random params — measures the compute path)')
     args = p.parse_args()
     enable_compilation_cache()
 
@@ -41,6 +44,12 @@ def main():
     audio = Audio(sampling_rate=22050, n_fft=1024, mel_channels=80,
                   hop_length=256, win_length=1024, f_min=0, f_max=8000,
                   normalizer='MelGAN')
+    vocoder = None
+    if args.vocoder == 'melgan':
+        import jax
+        from transformertts_tpu.models.melgan import MelGANVocoder
+        vocoder = MelGANVocoder(mel_channels=80)   # hop 256, published scale
+        vocoder.init_params(jax.random.PRNGKey(0))
     mesh = None
     if args.data_parallel > 1:
         import jax
@@ -53,12 +62,13 @@ def main():
 
     t0 = time.perf_counter()
     synthesize_lines(model, audio, lines, max_batch=args.max_batch,
-                     mesh=mesh)
+                     mesh=mesh, vocoder=vocoder)
     print(f'warm pass: {time.perf_counter() - t0:.1f}s', flush=True)
     for rep in range(args.reps):
         t0 = time.perf_counter()
         wavs = synthesize_lines(model, audio, lines,
-                                max_batch=args.max_batch, mesh=mesh)
+                                max_batch=args.max_batch, mesh=mesh,
+                                vocoder=vocoder)
         dt = time.perf_counter() - t0
         secs = sum(len(w) for w in wavs) / 22050
         print(f'rep{rep}: {len(lines) / dt:.0f} sentences/s, '
