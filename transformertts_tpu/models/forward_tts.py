@@ -33,6 +33,17 @@ from transformertts_tpu.utils.pytree import host_array
 FRAME_BUCKET = 128  # decode frame budgets are rounded up to multiples of this
 
 
+def _audio_cache_key(audio) -> tuple:
+    """Hashable key of everything an Audio object bakes into the fused
+    decode→wav closures (normalizer math + inversion geometry). Two Audio
+    objects with equal keys compile to identical programs, so jit caches key
+    on this instead of ``id(audio)`` — a serving process constructing a fresh
+    Audio per request must not grow one executable per call."""
+    return (type(audio.normalizer).__name__, audio.sampling_rate,
+            audio.n_fft, audio.hop_length, audio.win_length,
+            audio.f_min, audio.f_max, audio.mel_channels)
+
+
 class ForwardTransformer:
 
     def __init__(self,
@@ -272,9 +283,10 @@ class ForwardTransformer:
         chunk at two dispatches total (encode + this).
         Returns ``(pcm16_wav_batch, mel_batch)`` at the static frame budget.
         """
-        # id(audio) keys the closure's baked-in normalizer/denormalize math;
-        # the closure keeps audio alive so the id cannot be recycled
-        key = (id(audio), n_iter)
+        # key on the normalizer-relevant config (not id(audio)): a serving
+        # process constructing a fresh Audio per request must reuse the same
+        # compiled executable instead of growing the cache without bound
+        key = (_audio_cache_key(audio), n_iter)
         if key not in self._jit_decode_wav:
             from transformertts_tpu.audio import griffinlim
             silence = float(np.asarray(audio.normalizer.normalize(
@@ -303,6 +315,15 @@ class ForwardTransformer:
         (the vocoder analogue of ``_decode_wav_jit``; a raw ``vocoder.apply``
         call would run the whole generator op-by-op eagerly).
         Returns ``(pcm16_wav_batch, mel_batch)``."""
+        norm = self.config.get('normalizer', 'MelGAN')
+        if norm != 'MelGAN':
+            # the neural vocoders consume MelGAN-scale log-mels; a WaveRNN-
+            # normalized model would feed them wrong-scale input and the
+            # LOG_MEL_SILENCE padding level below would also be wrong
+            raise ValueError(
+                f"neural vocoders expect MelGAN-normalized mels, but this "
+                f"model was trained with normalizer={norm!r}; use the "
+                f"Griffin-Lim path instead")
         key = ('vocoder', id(vocoder))
         if key not in self._jit_decode_wav:
             from transformertts_tpu.models.melgan import LOG_MEL_SILENCE
@@ -340,10 +361,9 @@ class ForwardTransformer:
         n_orig = tokens.shape[1]
         n_pad = max(32, -(-n_orig // 32) * 32)
         tokens = np.pad(tokens, ((0, 0), (0, n_pad - n_orig)))
-        n_iter = n_iter or audio.griffin_lim_iters
-        # id(audio): the closure bakes in the normalizer math (see
-        # _decode_wav_jit); the closure keeps audio alive
-        key = (max_frames, n_iter, id(audio))
+        n_iter = n_iter if n_iter is not None else audio.griffin_lim_iters
+        # keyed on the normalizer-relevant audio config (see _decode_wav_jit)
+        key = (max_frames, n_iter, _audio_cache_key(audio))
         if key not in self._jit_predict_wav:
             from transformertts_tpu.audio import griffinlim
             silence = float(np.asarray(audio.normalizer.normalize(

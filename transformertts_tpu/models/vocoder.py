@@ -12,16 +12,31 @@ import json
 from pathlib import Path
 
 
-def unwrap_torch_checkpoint(path) -> dict:
+def unwrap_torch_checkpoint(path, allow_pickle: bool = False) -> dict:
     """torch checkpoint file → numpy state dict.
 
     Handles whole-module saves (``.state_dict()``), MelGAN trainer
     checkpoints (``{'model_g': sd}``) and HiFi-GAN trainer checkpoints
     (``{'generator': sd}``). The single unwrapping used by load_vocoder and
     both vocoders' ``from_torch_checkpoint``.
+
+    Loads with ``weights_only=True`` (no arbitrary pickle execution — the
+    documented seungwonpark/melgan and jik876/hifi-gan checkpoints are plain
+    tensor dicts). A checkpoint that genuinely needs full unpickling (e.g. a
+    whole pickled ``nn.Module``) is refused unless ``allow_pickle=True`` is
+    passed explicitly — that executes code from the checkpoint file.
     """
     import torch
-    blob = torch.load(path, map_location='cpu', weights_only=False)
+    try:
+        blob = torch.load(path, map_location='cpu', weights_only=True)
+    except Exception as exc:
+        if not allow_pickle:
+            raise ValueError(
+                f'{path} is not a plain tensor checkpoint '
+                f'(weights_only load failed: {exc}). If you trust this '
+                f'file, pass allow_pickle=True to load it with full '
+                f'unpickling (this executes code from the file).') from exc
+        blob = torch.load(path, map_location='cpu', weights_only=False)
     if hasattr(blob, 'state_dict'):
         blob = blob.state_dict()
     if isinstance(blob, dict) and 'model_g' in blob:     # MelGAN trainer ckpt
@@ -32,12 +47,12 @@ def unwrap_torch_checkpoint(path) -> dict:
     return {k: v.numpy() for k, v in blob.items()}
 
 
-def load_vocoder(path, mel_channels: int = 80):
+def load_vocoder(path, mel_channels: int = 80, allow_pickle: bool = False):
     """Load a MelGAN or HiFi-GAN torch checkpoint as a TPU generator."""
     from transformertts_tpu.models.melgan import MelGANVocoder
     from transformertts_tpu.models.hifigan import HiFiGANVocoder
 
-    sd = unwrap_torch_checkpoint(path)
+    sd = unwrap_torch_checkpoint(path, allow_pickle=allow_pickle)
 
     if any(k.startswith('conv_pre.') for k in sd):
         cfg_path = Path(path).parent / 'config.json'
