@@ -32,7 +32,10 @@ def test_dryrun_multichip_subprocess_ambient_env():
          'import __graft_entry__ as g; g.dryrun_multichip(8)'],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=480)
     assert out.returncode == 0, out.stderr[-2000:]
-    assert 'dryrun_multichip(8) OK' in out.stdout
+    # all three SPMD surfaces must report OK (VERDICT r2 item 5)
+    assert 'dryrun_multichip(8) forward-train OK' in out.stdout
+    assert 'dryrun_multichip(8) aligner-train OK' in out.stdout
+    assert 'dryrun_multichip(8) serving OK' in out.stdout
 
 
 def test_entry_compiles():
