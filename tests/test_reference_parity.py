@@ -190,3 +190,239 @@ def test_hdf5_export_loads_into_reference_tf(reference_modules, tmp_path):
     my_mel = np.asarray(out['mel'])[0][:ref_mel.shape[0]]
     mae = np.mean(np.abs(ref_mel - my_mel))
     assert mae < 1e-4, f'mel MAE {mae}'
+
+
+# ---------------------------------------------------------------------------
+# Training-loss parity (VERDICT r2 item 3): identical weights + identical
+# batch → the loss SURFACE (not just the forward pass) must match the
+# reference to ~1e-5 wherever the semantics coincide, and each side's
+# normalization must be pinned by an explicit formula where they deviate
+# (documented deviations: transformertts_tpu/training/forward_trainer.py:42-47).
+# ---------------------------------------------------------------------------
+
+def _no_padding_forward_batch(ref, seed=3, b=2, n_tok=6):
+    """Batch with ZERO padding anywhere: all tokens real, per-row durations
+    summing to the same total, every target mel frame nonzero. On such a
+    batch the reference's unmasked Keras losses and this repo's masked
+    losses provably coincide, so any factor drift is a test failure."""
+    rng = np.random.default_rng(seed)
+    tokens = rng.integers(1, ref.text_pipeline.tokenizer.vocab_size,
+                          size=(b, n_tok), dtype=np.int32)
+    durs = rng.integers(1, 4, size=(b, n_tok)).astype(np.float32)
+    total = int(durs.sum(axis=1).max())
+    for i in range(b):  # equalize row totals so no mel frame is padding
+        durs[i, -1] += total - durs[i].sum()
+    mel = rng.standard_normal((b, total, MEL)).astype(np.float32) + 0.1
+    pitch = rng.standard_normal((b, n_tok)).astype(np.float32)
+    return tokens, durs, mel, pitch
+
+
+def test_forward_training_loss_parity(reference_modules, tmp_path):
+    """Reference _val_step losses == forward_loss to 1e-5 on a no-padding
+    batch (reference model/models.py:464-516, loss weights [1, 1, 3])."""
+    ref = reference_modules.ForwardTransformer(debug=True, **FORWARD_CFG)
+    ref._compile(optimizer=tf.keras.optimizers.Adam())
+    tokens, durs, mel, pitch = _no_padding_forward_batch(ref)
+
+    ref_out = ref._val_step(tf.constant(tokens), tf.constant(mel),
+                            tf.constant(durs), tf.constant(pitch))
+    wpath = tmp_path / 'fwd_loss.weights.h5'
+    ref.save_weights(str(wpath))
+
+    import jax
+    from transformertts_tpu.models.forward_tts import ForwardTransformer
+    from transformertts_tpu.models.convert import load_reference_weights_into
+    from transformertts_tpu.training.forward_trainer import forward_loss
+    mine = ForwardTransformer(**FORWARD_CFG)
+    load_reference_weights_into(mine, wpath)
+    batch = {'tokens': tokens, 'mel': mel, 'durations': durs, 'pitch': pitch}
+    total, (losses, _) = forward_loss(mine, mine.params, batch,
+                                      jax.random.PRNGKey(0),
+                                      deterministic=True)
+    for mine_key, ref_key in [('mel', 'mel'), ('duration', 'duration'),
+                              ('pitch', 'pitch')]:
+        r = float(ref_out['losses'][ref_key])
+        m = float(losses[mine_key])
+        assert abs(r - m) < 1e-5, f'{mine_key}: ref {r} vs mine {m}'
+    assert abs(float(ref_out['loss']) - float(total)) < 3e-5
+
+
+def test_forward_loss_padded_batch_pins_both_normalizations(
+        reference_modules, tmp_path):
+    """On a PADDED batch the two implementations deviate by design; pin each
+    side's exact formula so any additional drift fails.
+
+    Reference semantics (measured, utils/losses.py:41-49): the `if mask is
+    not None` inversion means the 2-arg call from weighted_sum_losses applies
+    NO mask — mel MAE averages over every frame including padding, and
+    duration/pitch MAE average over every token position. This repo masks
+    mel by nonzero target frames and duration/pitch by token padding
+    (training/forward_trainer.py:42-54)."""
+    ref = reference_modules.ForwardTransformer(debug=True, **FORWARD_CFG)
+    ref._compile(optimizer=tf.keras.optimizers.Adam())
+    rng = np.random.default_rng(4)
+    b, n_tok = 2, 8
+    tokens = np.zeros((b, n_tok), np.int32)
+    tokens[0, :5] = rng.integers(1, ref.text_pipeline.tokenizer.vocab_size, 5)
+    tokens[1, :8] = rng.integers(1, ref.text_pipeline.tokenizer.vocab_size, 8)
+    durs = np.zeros((b, n_tok), np.float32)
+    durs[0, :5] = rng.integers(1, 4, 5)
+    durs[1, :8] = rng.integers(1, 4, 8)
+    # mel padded to the batch-max expanded length (as tf.data bucketing
+    # produces); row 0's shorter total leaves real padding frames
+    frames = int(durs.sum(axis=1).max())
+    mel = np.zeros((b, frames, MEL), np.float32)
+    for i in range(b):
+        t = int(durs[i].sum())
+        mel[i, :t] = rng.standard_normal((t, MEL)).astype(np.float32) + 0.1
+    pitch = np.zeros((b, n_tok), np.float32)
+    pitch[0, :5] = rng.standard_normal(5)
+    pitch[1, :8] = rng.standard_normal(8)
+
+    ref_out = ref._val_step(tf.constant(tokens), tf.constant(mel),
+                            tf.constant(durs), tf.constant(pitch))
+    wpath = tmp_path / 'fwd_pad.weights.h5'
+    ref.save_weights(str(wpath))
+
+    from transformertts_tpu.models.forward_tts import ForwardTransformer
+    from transformertts_tpu.models.convert import load_reference_weights_into
+    from transformertts_tpu.training.forward_trainer import forward_loss
+    mine = ForwardTransformer(**FORWARD_CFG)
+    load_reference_weights_into(mine, wpath)
+    batch = {'tokens': tokens, 'mel': mel, 'durations': durs, 'pitch': pitch}
+    total, (losses, out) = forward_loss(mine, mine.params, batch, None,
+                                        deterministic=True)
+
+    # the PREDICTIONS agree (forward parity), so both loss formulas below
+    # are evaluated on the same surface
+    ref_mel = ref_out['mel'].numpy()[:, :frames]
+    my_mel = np.asarray(out['mel'])
+    assert np.mean(np.abs(ref_mel - my_mel)) < 1e-4
+
+    # reference mel loss == UNMASKED mean over all frames incl. padding
+    ref_formula = np.mean(np.abs(mel - ref_mel))
+    assert abs(float(ref_out['losses']['mel']) - ref_formula) < 1e-6
+
+    # our mel loss == masked mean over nonzero target frames
+    m = (np.abs(mel).sum(-1) > 0).astype(np.float32)
+    mine_formula = float((np.abs(mel - my_mel).mean(-1) * m).sum() / m.sum())
+    assert abs(float(losses['mel']) - mine_formula) < 1e-6
+
+    # duration/pitch: reference unmasked over b*n_tok, ours over real tokens
+    ref_dur = ref_out['duration'].numpy()[..., 0]
+    ref_dur_formula = np.mean(np.abs(durs - ref_dur))
+    assert abs(float(ref_out['losses']['duration']) - ref_dur_formula) < 1e-6
+    tok_m = (tokens > 0).astype(np.float32)
+    my_dur = np.asarray(out['duration'])[..., 0]
+    mine_dur_formula = float((np.abs(durs - my_dur) * tok_m).sum() / tok_m.sum())
+    assert abs(float(losses['duration']) - mine_dur_formula) < 1e-6
+
+
+def _patch_cross_attention_blocks_keyword_calls():
+    """Keras 3 rejects the reference's positional `training` bool when
+    CrossAttentionBlocks.call invokes its sub-blocks; re-bind the loop with
+    keyword calls (identical math, reference model/layers.py:405-417) so the
+    REAL reference _gta_forward loss code can run unmodified."""
+    import model.layers as ref_layers
+    tf_mod = tf
+
+    def call(self, inputs, enc_output, training, decoder_padding_mask,
+             encoder_padding_mask, reduction_factor=1):
+        seq_len = tf_mod.shape(inputs)[1]
+        x = self.layernorm(inputs)
+        x += self.pos_encoding_scalar * self.pos_encoding[
+            :, :seq_len * reduction_factor:reduction_factor, :]
+        x = self.dropout(x, training=training)
+        attention_weights = {}
+        for i, block in enumerate(self.CADB):
+            x, _, attn_weights = block(
+                x, enc_output=enc_output, training=training,
+                look_ahead_mask=decoder_padding_mask,
+                padding_mask=encoder_padding_mask)
+            attention_weights[
+                f'{self.name}_DenseBlock{i + 1}_CrossAttention'] = attn_weights
+        x, _, attn_weights = self.last_CADB(
+            x, enc_output=enc_output, training=training,
+            look_ahead_mask=decoder_padding_mask,
+            padding_mask=encoder_padding_mask)
+        attention_weights[f'{self.name}_LastBlock_CrossAttention'] = attn_weights
+        return x, attention_weights
+
+    orig = ref_layers.CrossAttentionBlocks.call
+    ref_layers.CrossAttentionBlocks.call = call
+    return lambda: setattr(ref_layers.CrossAttentionBlocks, 'call', orig)
+
+
+def test_aligner_training_loss_parity(reference_modules, tmp_path):
+    """Reference _gta_forward losses == aligner_loss to 1e-5 with diagonal
+    forcing ON (reference model/models.py:168-211): masked mel MAE, stop CE
+    at scaling 8, and the /10-/norm_factor diagonal penalties.
+
+    Batch has no padding (all stop targets nonzero, all mel frames real), so
+    the reference's B*T normalizations and this repo's masked/per-real-sample
+    normalizations provably coincide — any factor drift fails."""
+    restore = _patch_cross_attention_blocks_keyword_calls()
+    try:
+        ref = reference_modules.Aligner(debug=True, **ALIGNER_CFG)
+        ref._set_r(2)
+        ref.force_encoder_diagonal = True
+        ref.force_decoder_diagonal = True
+        ref._compile(stop_scaling=8.0, optimizer=tf.keras.optimizers.Adam())
+        rng = np.random.default_rng(5)
+        b, n_tok, frames = 2, 6, 13   # tar[:, :-1] → 12 frames, r=2 → 6 steps
+        tokens = rng.integers(1, ref.text_pipeline.tokenizer.vocab_size,
+                              size=(b, n_tok), dtype=np.int32)
+        mel = rng.standard_normal((b, frames, MEL)).astype(np.float32) + 0.1
+        stop = np.ones((b, frames), np.int64)
+        stop[:, -1] = 2
+
+        ref_out, _ = ref._gta_forward(tf.constant(tokens), tf.constant(mel),
+                                      tf.constant(stop), training=False)
+        wpath = tmp_path / 'aligner_loss.weights.h5'
+        ref.save_weights(str(wpath))
+
+        from transformertts_tpu.models.aligner import Aligner
+        from transformertts_tpu.models.convert import load_reference_weights_into
+        from transformertts_tpu.training.aligner_trainer import aligner_loss
+        from transformertts_tpu.utils.losses import new_scaled_crossentropy
+        mine = Aligner(**ALIGNER_CFG)
+        load_reference_weights_into(mine, wpath)
+        batch = {'tokens': tokens, 'mel': mel, 'stop_probs': stop}
+        total, (losses, _) = aligner_loss(
+            mine, mine.params, batch, r=2,
+            stop_loss=new_scaled_crossentropy(index=2, scaling=8.0),
+            force_encoder_diagonal=True, force_decoder_diagonal=True,
+            rng=None, deterministic=True)
+
+        for key in ['mel', 'stop_prob', 'diag_loss']:
+            r_val = float(ref_out['losses'][key])
+            m_val = float(losses[key])
+            assert abs(r_val - m_val) < 1e-5, f'{key}: ref {r_val} vs {m_val}'
+        assert abs(float(ref_out['loss']) - float(total)) < 3e-5
+    finally:
+        restore()
+
+
+def test_stop_ce_padded_normalization_documented(reference_modules):
+    """Stop-CE on PADDED stop targets: the reference's Keras reduction
+    divides by B*T (total elements — padding inflates the denominator,
+    utils/losses.py:4-21 via SUM_OVER_BATCH_SIZE); this repo divides by the
+    count of real (nonzero) targets. Pin both formulas."""
+    from utils.losses import new_scaled_crossentropy as ref_ce
+    from transformertts_tpu.utils.losses import (
+        new_scaled_crossentropy as my_ce)
+    rng = np.random.default_rng(6)
+    b, t = 2, 6
+    stop = np.array([[1, 1, 1, 2, 0, 0], [1, 1, 1, 1, 1, 2]], np.int64)
+    logits = rng.standard_normal((b, t, 3)).astype(np.float32)
+
+    logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    ce = -np.take_along_axis(logp, stop[..., None], axis=-1)[..., 0]
+    w = (stop > 0).astype(np.float32) + (stop == 2).astype(np.float32) * 7.0
+
+    ref_val = float(ref_ce(index=2, scaling=8.0)(
+        tf.constant(stop), tf.constant(logits)))
+    assert abs(ref_val - (w * ce).sum() / (b * t)) < 1e-6
+
+    my_val = float(my_ce(index=2, scaling=8.0)(stop, logits))
+    assert abs(my_val - (w * ce).sum() / (stop > 0).sum()) < 1e-6
