@@ -296,3 +296,47 @@ def test_overflow_bucket_coarse_padding_bounds_shapes():
     frame_shapes = {b['mel'].shape[1] for b in ds.all_batches()}
     assert all(f % OVERFLOW_PAD == 0 for f in frame_shapes)
     assert len(frame_shapes) == 1  # all six lengths collapse to one shape
+
+
+def test_input_wait_instrumentation():
+    """take_input_wait_ms: a slow loader accumulates stall time when the
+    consumer outpaces it; the read resets the counter (VERDICT r2 item 9)."""
+    import time
+    from transformertts_tpu.data.datasets import BucketedDataset
+
+    def slow_load(name):
+        time.sleep(0.02)
+        return {'mel': np.zeros((4, 2), np.float32), 'tokens': [1, 2],
+                'fname': name}
+
+    ds = BucketedDataset([f's{i}' for i in range(5)], slow_load,
+                         len_fn=lambda s: s['mel'].shape[0], mel_channels=2,
+                         bucket_boundaries=[8], bucket_batch_sizes=[1, 1],
+                         shuffle=False, prefetch=1)
+    for _ in ds.all_batches():
+        pass
+    waited = ds.take_input_wait_ms()
+    assert waited > 0.0           # consumer must have blocked on the queue
+    assert ds.take_input_wait_ms() == 0.0   # read resets
+
+
+def test_input_wait_zero_when_loader_ahead():
+    """A fast loader against a slow consumer reports ~no stall."""
+    import time
+    from transformertts_tpu.data.datasets import BucketedDataset
+
+    def fast_load(name):
+        return {'mel': np.zeros((4, 2), np.float32), 'tokens': [1, 2],
+                'fname': name}
+
+    ds = BucketedDataset([f's{i}' for i in range(5)], fast_load,
+                         len_fn=lambda s: s['mel'].shape[0], mel_channels=2,
+                         bucket_boundaries=[8], bucket_batch_sizes=[1, 1],
+                         shuffle=False, prefetch=4)
+    it = ds.all_batches()
+    next(it)            # let the prefetcher fill while we sleep
+    time.sleep(0.1)
+    ds.take_input_wait_ms()       # discard startup wait for the first batch
+    for _ in it:
+        time.sleep(0.01)
+    assert ds.take_input_wait_ms() < 5.0

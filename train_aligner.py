@@ -187,6 +187,8 @@ def main(argv=None):
         step = py_step
         summary_manager.add_scalar('Meta/iter_time',
                                    _time.perf_counter() - _t0, step)
+        summary_manager.add_scalar('Meta/input_wait_ms',
+                                   train_data.take_input_wait_ms(), step)
         if profile_start >= 0 and step == profile_start + profile_n:
             import jax.profiler
             jax.profiler.stop_trace()

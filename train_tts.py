@@ -162,6 +162,8 @@ def main(argv=None):
         fetching the loss scalars never blocks the device (the next step is
         already dispatched and running while this executes)."""
         summary_manager.add_scalar('Meta/iter_time', iter_time, step)
+        summary_manager.add_scalar('Meta/input_wait_ms',
+                                   train_data.take_input_wait_ms(), step)
         t.set_postfix(loss=float(aux['loss']))
         summary_manager.display_loss(
             {k: v for k, v in aux.items()

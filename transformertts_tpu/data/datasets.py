@@ -21,6 +21,7 @@ TPU-first re-design (vs. tf.data bucket_by_sequence_length):
 """
 import queue
 import threading
+import time
 from pathlib import Path
 from random import Random
 from typing import Callable, Dict, List, Sequence, Union
@@ -261,6 +262,22 @@ class BucketedDataset:
         self.prefetch = prefetch
         self._iter = None
         self._shapes_seen: set = set()
+        # loader-headroom instrumentation: cumulative time next_batch spent
+        # blocked waiting on an empty prefetch queue (0 ⇒ the loader thread
+        # always stays ahead of the training step)
+        self._input_wait_s = 0.0
+        self._input_waits = 0
+
+    def take_input_wait_ms(self) -> float:
+        """Read-and-reset the accumulated input-stall time (milliseconds).
+
+        Logged by the train CLIs as Meta/input_wait_ms; a persistently
+        nonzero value means the single loader thread cannot keep up with
+        the device step and prefetch/loader parallelism should rise."""
+        ms = self._input_wait_s * 1000.0
+        self._input_wait_s = 0.0
+        self._input_waits = 0
+        return ms
 
     # ------------------------------------------------------------- internals
 
@@ -354,7 +371,13 @@ class BucketedDataset:
         t = threading.Thread(target=worker, daemon=True)
         t.start()
         while True:
-            item = q.get()
+            try:
+                item = q.get_nowait()
+            except queue.Empty:
+                t0 = time.perf_counter()
+                item = q.get()
+                self._input_wait_s += time.perf_counter() - t0
+                self._input_waits += 1
             if item is DONE:
                 break
             if isinstance(item, BaseException):
