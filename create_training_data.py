@@ -91,17 +91,6 @@ def featurize_batch(audio: Audio, names, wavs, mel_dir: Path, pitch_dir: Path,
     return kept, pitches
 
 
-def _phonemize_job(args):
-    text, language, with_stress = args
-    from transformertts_tpu.text.phonemizer import Phonemizer
-    global _PHONEMIZER
-    try:
-        _PHONEMIZER
-    except NameError:
-        _PHONEMIZER = Phonemizer(language=language, with_stress=with_stress)
-    return _PHONEMIZER(text)
-
-
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument('--config', type=str, required=True)
@@ -181,13 +170,16 @@ def main(argv=None):
         kept = [n for n in kept_names if n in reader.text_dict]
         texts = [reader.text_dict[n] for n in kept]
         print(f'phonemizing {len(texts)} texts')
-        jobs = [(t, config['phoneme_language'], config['with_stress'])
-                for t in texts]
-        ctx = multiprocessing.get_context('spawn')
-        with ProcessPoolExecutor(max_workers=args.workers, mp_context=ctx) as ex:
-            phonemes = list(tqdm.tqdm(
-                ex.map(_phonemize_job, jobs, chunksize=64),
-                total=len(jobs), file=sys.stdout, desc='phonemizing'))
+        # single-process, batched-list call: the espeak backend batches all
+        # clauses through chunked stdin invocations (threads inside) and the
+        # builtin G2P runs ~1,000 clips/s — a spawn pool is 30× SLOWER here
+        # because every worker re-imports the package (measured,
+        # scripts/measure_featurization.py: 1,003 vs 31 clips/s at 1k clips)
+        from transformertts_tpu.text.phonemizer import Phonemizer
+        phonemizer = Phonemizer(language=config['phoneme_language'],
+                                with_stress=config['with_stress'],
+                                njobs=args.workers)
+        phonemes = phonemizer(texts)
 
         with open(cm.phonemized_metadata_path, 'w', encoding='utf-8') as f:
             for n, ph in zip(kept, phonemes):

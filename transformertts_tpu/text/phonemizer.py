@@ -21,6 +21,9 @@ from transformertts_tpu.text.symbols import all_phonemes, _punctuations
 from transformertts_tpu.text import g2p
 
 _KNOWN_SYMBOLS = frozenset(all_phonemes)
+# clauses per espeak invocation: large enough that process spawn is
+# amortized to noise, small enough to keep invocations streaming
+ESPEAK_CHUNK = 500
 # one or more whitespace chars, optionally hugging a punctuation mark
 _WS = re.compile(r'\s+')
 _WS_AROUND_PUNCT = re.compile(r'\s*([' + _punctuations + r'])\s*')
@@ -65,16 +68,14 @@ class Phonemizer:
         with_stress = self.with_stress if with_stress is None else with_stress
         njobs = self.njobs if njobs is None else njobs
         text = _per_string(self._shield_hyphens, text)
-        if isinstance(text, list) and njobs > 1 and len(text) > 1 \
-                and self.backend == 'espeak':
-            # espeak runs as a subprocess per clause — threads parallelize
-            # the process waits (the builtin G2P is pure CPU Python, where
-            # threads would not help)
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=njobs) as pool:
-                phonemes = list(pool.map(
-                    lambda t: self._phonemize_string(t, language, with_stress),
-                    text))
+        if isinstance(text, list) and self.backend == 'espeak':
+            # corpus path: ALL clauses of all texts go through a handful of
+            # chunked espeak invocations instead of one process per clause —
+            # at LJSpeech scale (13k clips × several clauses) process-spawn
+            # overhead would otherwise dominate stage 1 (the reference used
+            # the in-process espeak C library; data/text/tokenizer.py:66-74)
+            phonemes = self._espeak_many(text, language, with_stress,
+                                         njobs=njobs)
         else:
             phonemes = _per_string(
                 lambda t: self._phonemize_string(t, language, with_stress),
@@ -88,26 +89,85 @@ class Phonemizer:
             return self._espeak(text, language, with_stress)
         return g2p.g2p_sentence(text, with_stress=with_stress)
 
-    def _espeak(self, text: str, language: str, with_stress: bool) -> str:
-        # espeak emits IPA directly with --ipa; punctuation must be
-        # re-attached because espeak drops it, so phonemize clause by clause.
+    def _split_segments(self, text: str) -> list:
+        """Split into ('punct', mark) / ('clause', words) segments, keeping
+        order; espeak drops punctuation so it must be re-attached."""
+        parts = re.split(f'([{re.escape(self.punctuation)}])', text)
+        segs = []
+        for part in parts:
+            if not part.strip():
+                continue
+            kind = 'punct' if part in self.punctuation else 'clause'
+            segs.append((kind, part))
+        return segs
+
+    def _espeak_lines(self, clauses: list, language: str,
+                      with_stress: bool) -> list:
+        """IPA for each clause, one espeak invocation per ESPEAK_CHUNK
+        clauses (newline-separated stdin; espeak emits one IPA line per
+        input line). Falls back to one invocation per clause if the output
+        line count disagrees — that pairing is observed espeak behavior,
+        not a documented contract."""
         binary = _find_espeak()
-        clauses = re.split(f'([{re.escape(self.punctuation)}])', text)
-        out = []
-        for clause in clauses:
-            if not clause.strip():
-                continue
-            if clause in self.punctuation:
-                out.append(clause)
-                continue
+        out: list = []
+        for start in range(0, len(clauses), ESPEAK_CHUNK):
+            chunk = clauses[start:start + ESPEAK_CHUNK]
+            # newlines inside a clause would desync the line pairing
+            chunk = [c.replace('\n', ' ') for c in chunk]
             result = subprocess.run(
-                [binary, '-q', '--ipa', '-v', language, clause],
+                [binary, '-q', '--ipa', '-v', language, '--stdin'],
+                input='\n'.join(chunk),
                 capture_output=True, text=True, check=True)
-            ipa = result.stdout.strip().replace('\n', ' ')
-            if not with_stress:
-                ipa = ipa.replace('ˈ', '').replace('ˌ', '')
-            out.append(ipa)
-        return ' '.join(out)
+            lines = [ln for ln in
+                     (s.strip() for s in result.stdout.split('\n'))
+                     if ln]
+            if len(lines) != len(chunk):
+                # pairing broke (e.g. a clause emitted 0 or 2 lines):
+                # re-run this chunk one clause per process
+                lines = []
+                for clause in chunk:
+                    r = subprocess.run(
+                        [binary, '-q', '--ipa', '-v', language, clause],
+                        capture_output=True, text=True, check=True)
+                    lines.append(r.stdout.strip().replace('\n', ' '))
+            out.extend(lines)
+        if not with_stress:
+            out = [ipa.replace('ˈ', '').replace('ˌ', '') for ipa in out]
+        return out
+
+    def _espeak(self, text: str, language: str, with_stress: bool) -> str:
+        """One text: all its clauses in a single espeak invocation."""
+        segs = self._split_segments(text)
+        clauses = [s for kind, s in segs if kind == 'clause']
+        ipa = iter(self._espeak_lines(clauses, language, with_stress))
+        return ' '.join(next(ipa) if kind == 'clause' else s
+                        for kind, s in segs)
+
+    def _espeak_many(self, texts: list, language: str, with_stress: bool,
+                     njobs: int = 1) -> list:
+        """Corpus batch: flatten every text's clauses into chunked espeak
+        invocations (thread-parallel across chunks — the wait is in the
+        subprocess, so threads suffice), then reassemble per text."""
+        all_segs = [self._split_segments(t) for t in texts]
+        flat = [c for segs in all_segs
+                for kind, c in segs if kind == 'clause']
+        if njobs > 1 and len(flat) > ESPEAK_CHUNK:
+            from concurrent.futures import ThreadPoolExecutor
+            chunks = [flat[s:s + ESPEAK_CHUNK]
+                      for s in range(0, len(flat), ESPEAK_CHUNK)]
+            with ThreadPoolExecutor(max_workers=njobs) as pool:
+                results = pool.map(
+                    lambda ch: self._espeak_lines(ch, language, with_stress),
+                    chunks)
+            ipa_flat: list = []
+            for r in results:
+                ipa_flat.extend(r)
+        else:
+            ipa_flat = self._espeak_lines(flat, language, with_stress)
+        it = iter(ipa_flat)
+        return [' '.join(next(it) if kind == 'clause' else s
+                         for kind, s in segs)
+                for segs in all_segs]
 
     # pre/post-processing (reference-parity semantics) ------------------------
 
