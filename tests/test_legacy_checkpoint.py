@@ -272,3 +272,35 @@ def test_aligner_save_model_hdf5_round_trip(tmp_path):
     (tmp_path / 'export' / 'model_weights.npz').unlink()
     model3 = Aligner.load_model(tmp_path / 'export')
     _assert_params_equal(model3, flat)
+
+
+def test_describe_weight_match_signals(tmp_path, forward_setup):
+    """describe_weight_match reports WHICH signal carried each layer-group
+    assignment (scripts/verify_checkpoint.py's per-layer report): explicit
+    names from the layer_names attr where the messy writer kept them,
+    order-fallback for anonymous dense groups, named-group for Keras-3."""
+    flat, skeleton = forward_setup
+    model = ForwardTransformer(**FORWARD_CFG)
+    path = tmp_path / 'model_weights.hdf5'
+    _write_messy_h5(path, skeleton, flat, LAYER_NAMES['forward'])
+    report = convert.describe_weight_match(model, path)
+    # 'expand' is weightless, so 7 of the 8 layers carry groups
+    assert len(report) == len(LAYER_NAMES['forward']) - 1
+    signals = {lname: sig for lname, _, sig in report}
+    assert signals['Encoder'] == 'explicit-name'
+    assert signals['Decoder'] == 'explicit-name'
+    # anonymous Keras default names (dense/dense_1) carry no information;
+    # those two slots must be order-fallback
+    assert sum(1 for s in signals.values() if s == 'order-fallback') == 2
+    roots = {lname: root for lname, root, _ in report}
+    assert roots['Encoder'] == 'encoder'
+
+    # Keras-3 layout: group paths ARE the names
+    model.init_params(jax.random.PRNGKey(0))
+    k3 = tmp_path / 'k3'
+    k3.mkdir()
+    model.save_model(k3, weights_format='hdf5')
+    with h5py.File(k3 / 'model_weights.hdf5', 'a') as f:
+        del f.attrs['layer_names']   # make it look like a Keras-3 export
+    report3 = convert.describe_weight_match(model, k3 / 'model_weights.hdf5')
+    assert all(sig == 'named-group' for _, _, sig in report3)

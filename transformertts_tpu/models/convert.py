@@ -560,7 +560,9 @@ def _align_groups(groups, names, layer_names, skeleton):
                          f'{[ckpt[i][2] for i in unmatched]} vs slots {free}')
     for i, j in zip(unmatched, free):
         assigned[i] = j
-    return [(ckpt[i][0], ckpt[i][1], ckpt[i][2], skel[assigned[i]])
+    name_matched = set(assigned) - set(unmatched)
+    return [(ckpt[i][0], ckpt[i][1], ckpt[i][2], skel[assigned[i]],
+             'explicit-name' if i in name_matched else 'order-fallback')
             for i in range(len(ckpt))]
 
 
@@ -639,7 +641,7 @@ def convert_legacy_weights(groups, skeleton, template_flat=None, names=None,
     mis-orderings that shapes alone cannot (wq/wk/wv are interchangeable).
     """
     tree = {}
-    for arrays, wnames, lname, paths in _align_groups(
+    for arrays, wnames, lname, paths, _signal in _align_groups(
             groups, names, layer_names, skeleton):
         for path, arr in _match_group(arrays, wnames, lname, paths,
                                       template_flat):
@@ -739,3 +741,30 @@ def write_legacy_h5(model, weights_path,
                 g[wname] = arr
                 wnames.append(wname.encode())
             g.attrs['weight_names'] = wnames
+
+
+def describe_weight_match(model, weights_path) -> list:
+    """Per-layer match report for a reference hdf5 checkpoint.
+
+    Returns [(layer_name, skeleton_root, signal)] where signal is how the
+    layer group was paired with model components: 'explicit-name' (matched
+    by the checkpoint's layer_names attr), 'order-fallback' (took a free
+    slot in stored order), or 'named-group' for the Keras-3 layout whose
+    h5 group paths ARE the names. Used by scripts/verify_checkpoint.py to
+    show exactly which signal carried each assignment on a real artifact."""
+    import h5py
+    with h5py.File(weights_path, 'r') as f:
+        legacy = 'layer_names' in f.attrs
+    if not legacy:
+        flat = _read_h5_flat(weights_path)
+        roots = sorted({k.split('/', 1)[0] for k in flat})
+        return [(r, r, 'named-group') for r in roots]
+    from transformertts_tpu.models.forward_tts import ForwardTransformer
+    groups, names, layer_names = read_legacy_h5(weights_path)
+    if isinstance(model, ForwardTransformer):
+        skeleton = forward_legacy_skeleton(model.config)
+    else:
+        skeleton = aligner_legacy_skeleton(model.config)
+    return [(lname, paths[0].split('/', 1)[0], signal)
+            for _, _, lname, paths, signal in _align_groups(
+                groups, names, layer_names, skeleton)]
