@@ -22,11 +22,18 @@ class BaseTrainer:
     val_static_argnums: tuple = ()
 
     def __init__(self, model, tx: optax.GradientTransformation,
-                 mesh: Optional[Mesh] = None, base_rng_seed: int = 42):
+                 mesh: Optional[Mesh] = None, base_rng_seed: int = 42,
+                 rng_impl: str = 'rbg'):
         self.model = model
         self.tx = tx
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
-        self.base_rng = jax.random.PRNGKey(base_rng_seed)
+        # Dropout keys use the 'rbg' generator: XLA's native RngBitGenerator
+        # runs at HBM speed on TPU where the default threefry is ALU-bound
+        # software — measured 11 ms/step (30%) of the published-scale train
+        # step before, ~2 ms after (scripts/profile_train_step.py). Still
+        # deterministic per (seed, step); pass rng_impl='threefry2x32' to
+        # reproduce pre-switch mask streams bit-exactly.
+        self.base_rng = jax.random.key(base_rng_seed, impl=rng_impl)
         self._train_step = None
         self._val_step = None
 
