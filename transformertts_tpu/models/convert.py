@@ -709,9 +709,12 @@ def write_legacy_h5(model, weights_path,
     init value of 1.0).
     """
     import h5py
+    import jax
     from transformertts_tpu.utils.pytree import flatten_params
     from transformertts_tpu.models.forward_tts import ForwardTransformer
-    flat = flatten_params(model.params)
+    # one batched fetch (per-leaf np.asarray = one round trip per tensor
+    # through a remote-dispatch tunnel)
+    flat = flatten_params(jax.device_get(model.params))
     if isinstance(model, ForwardTransformer):
         skeleton = forward_legacy_skeleton(model.config)
         layer_names = FORWARD_LAYER_NAMES

@@ -362,7 +362,21 @@ class ForwardTransformer:
         n_pad = max(32, -(-n_orig // 32) * 32)
         tokens = np.pad(tokens, ((0, 0), (0, n_pad - n_orig)))
         n_iter = n_iter if n_iter is not None else audio.griffin_lim_iters
-        # keyed on the normalizer-relevant audio config (see _decode_wav_jit)
+        fn = self._predict_wav_jit(audio, max_frames, n_iter)
+        # ONE device_get for all three results: on remote-dispatch backends
+        # (axon tunnel) every separate fetch costs a full network round trip
+        # — three sequential np.asarray calls measured 124 ms vs 47 ms for a
+        # single batched fetch (scripts/measure_dispatch_breakdown.py)
+        wav, mel, n_frames = jax.device_get(fn(
+            self.params, jnp.asarray(tokens),
+            jnp.float32(1.0 / speed_regulator)))
+        n = int(n_frames)
+        return (wav[: n * audio.hop_length], mel[:n])
+
+    def _predict_wav_jit(self, audio, max_frames: int, n_iter: int):
+        """Build (or fetch cached) the fused text→wav executable used by
+        ``predict_wav``; keyed on the normalizer-relevant audio config
+        (see ``_decode_wav_jit``)."""
         key = (max_frames, n_iter, _audio_cache_key(audio))
         if key not in self._jit_predict_wav:
             from transformertts_tpu.audio import griffinlim
@@ -387,12 +401,7 @@ class ForwardTransformer:
                                              audio.win_length)
                 return wav, mel, n_frames
             self._jit_predict_wav[key] = jax.jit(fn)
-        wav, mel, n_frames = self._jit_predict_wav[key](
-            self.params, jnp.asarray(tokens),
-            jnp.float32(1.0 / speed_regulator))
-        n = int(n_frames)
-        return (np.asarray(wav)[: n * audio.hop_length],
-                np.asarray(mel)[:n])
+        return self._jit_predict_wav[key]
 
     def predict(self, inp, encode: bool = True, speed_regulator: float = 1.0,
                 phoneme_max_duration: dict = None, phoneme_min_duration: dict = None,
@@ -416,6 +425,10 @@ class ForwardTransformer:
 
         features, durations, pitch, keep = self._encode_jit()(
             self.params, jnp.asarray(tokens))
+        # one batched fetch of the host-needed phase-1 results (each separate
+        # fetch is a full round trip on remote-dispatch backends — see
+        # scripts/measure_dispatch_breakdown.py)
+        durations_h, keep_h = jax.device_get((durations, keep))
         if phoneme_pitch is not None:
             p = np.zeros((1, n_pad, 1), np.float32)
             p[0, :n_orig, 0] = np.asarray(phoneme_pitch,
@@ -427,12 +440,12 @@ class ForwardTransformer:
                 phoneme_durations, np.float32).reshape(-1)[:n_orig]
             duration_scalar = np.float32(1.0)  # explicit durations bypass speed
         else:
-            durations_used = np.asarray(durations)
+            durations_used = durations_h
         # frame budget: host-side rounding to a bucket keeps the decode jit
         # cache small while shapes stay static
         clamped = np.minimum(durations_used[:, :, 0] * float(duration_scalar), max_mask)
         clamped = np.maximum(clamped, min_mask)
-        clamped = clamped * np.asarray(keep)[:, :, 0]
+        clamped = clamped * keep_h[:, :, 0]
         total = int(np.round(clamped).sum(axis=1).max()) + 1
         if max_frames is None:
             max_frames = max(FRAME_BUCKET, int(np.ceil(total / FRAME_BUCKET)) * FRAME_BUCKET)
@@ -444,9 +457,10 @@ class ForwardTransformer:
         # can predict zero total duration, and empty mels break downstream
         # STFT padding)
         n_valid = max(1, int(np.round(clamped).sum(axis=1).max()))
-        out = {'mel': host_array(np.asarray(mel)[0, :n_valid]),
+        mel_h, pitch_h = jax.device_get((mel, pitch))  # one fetch round trip
+        out = {'mel': host_array(mel_h[0, :n_valid]),
                'duration': host_array(np.asarray(durations_used)[:, :n_orig]),
-               'pitch': host_array(np.asarray(pitch)[:, :n_orig])}
+               'pitch': host_array(pitch_h[:, :n_orig])}
         return out
 
     def _make_max_duration_mask(self, tokens: np.ndarray, phoneme_max_duration):

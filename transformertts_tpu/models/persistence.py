@@ -50,7 +50,13 @@ def save_model_dir(model, path, weights_format: str = 'npz') -> Path:
     with open(path / 'config.yaml', 'w') as f:
         yaml.safe_dump(config, f, allow_unicode=True)
     if weights_format in ('npz', 'both'):
-        np.savez(path / 'model_weights.npz', **flatten_params(model.params))
+        # ONE batched device→host fetch: np.savez would np.asarray each leaf
+        # separately, costing a full network round trip PER PARAMETER on
+        # remote-dispatch backends (minutes for a real model — measured in
+        # scripts/measure_dispatch_breakdown.py: ~35 ms per fetch)
+        import jax
+        params_h = jax.device_get(model.params)
+        np.savez(path / 'model_weights.npz', **flatten_params(params_h))
     if weights_format in ('hdf5', 'both'):
         from transformertts_tpu.models.convert import write_legacy_h5
         write_legacy_h5(model, path / 'model_weights.hdf5')

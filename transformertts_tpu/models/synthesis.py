@@ -155,8 +155,12 @@ def synthesize_lines(model, audio, lines: Sequence[str],
         enc, enc_next = enc_next, (encode_chunk(chunks[i + 1])
                                    if i + 1 < len(chunks) else None)
         features, durations, pitch, keep = enc
-        dur = np.asarray(durations)[:, :, 0] * float(scalar)
-        dur = dur * np.asarray(keep)[:, :, 0]
+        # one batched fetch (separate np.asarray calls cost one network
+        # round trip EACH on remote-dispatch backends — measured in
+        # scripts/measure_dispatch_breakdown.py)
+        durations_h, keep_h = jax.device_get((durations, keep))
+        dur = durations_h[:, :, 0] * float(scalar)
+        dur = dur * keep_h[:, :, 0]
         totals = np.round(dur).sum(axis=1).astype(int) + 1
         frames = _round_up(int(totals[:len(chunk)].max()), FRAME_BUCKET)
         wav_dev, hop = _dispatch_decode_wav(

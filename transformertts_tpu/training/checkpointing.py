@@ -71,8 +71,12 @@ def save_checkpoint(directory, state: TrainState, keep_n: int = None,
     # list_checkpoints fullmatches — but should not accumulate)
     for stale in directory.glob('.tmp_ckpt_*.npz'):
         stale.unlink(missing_ok=True)
+    # ONE batched device→host fetch first: np.savez fetches each leaf
+    # separately otherwise, costing a network round trip per tensor on
+    # remote-dispatch backends (scripts/measure_dispatch_breakdown.py)
+    state_h = jax.device_get(state)
     with open(tmp, 'wb') as f:
-        np.savez(f, **_flatten_state(state))
+        np.savez(f, **_flatten_state(state_h))
     os.replace(tmp, path)
     if keep_n is not None:
         ckpts = list_checkpoints(directory)
