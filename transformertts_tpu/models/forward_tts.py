@@ -73,7 +73,6 @@ class ForwardTransformer:
                  encoder_feed_forward_dimension: int = None,
                  decoder_feed_forward_dimension: int = None,
                  compute_dtype: str = 'float32',
-                 use_flash_attention: bool = False,
                  debug: bool = False,
                  **kwargs):
         self.config = self._make_config(locals(), kwargs)
@@ -83,7 +82,6 @@ class ForwardTransformer:
         self.symbols = self.text_pipeline.tokenizer.alphabet
         self.mel_channels = mel_channels
         self.compute_dtype = jnp.bfloat16 if compute_dtype == 'bfloat16' else jnp.float32
-        self.use_flash_attention = use_flash_attention
         self.step = 0
         dim = encoder_model_dimension
 
@@ -154,8 +152,7 @@ class ForwardTransformer:
         x = self.encoder_prenet.apply(params['encoder_prenet'], tokens)
         x = x.astype(self.compute_dtype)
         x, encoder_attention = self.encoder.apply(
-            params['encoder'], x, enc_pad_mask, r1, deterministic,
-            use_flash=self.use_flash_attention and deterministic)
+            params['encoder'], x, enc_pad_mask, r1, deterministic)
         keep = 1.0 - jnp.squeeze(enc_pad_mask, axis=(1, 2))[:, :, None]
         keep = keep.astype(x.dtype)
         durations = self.dur_pred.apply(params['dur_pred'], x, keep, r2, deterministic)
@@ -171,8 +168,7 @@ class ForwardTransformer:
         expanded_mask = (1.0 - frame_valid)[:, None, None, :]
         mels, decoder_attention = self.decoder.apply(
             params['decoder'], mels, expanded_mask, rng, deterministic,
-            reduction_factor=1,
-            use_flash=self.use_flash_attention and deterministic)
+            reduction_factor=1)
         mels = self.out.apply(params['out'], mels)
         mels = mels * frame_valid[:, :, None].astype(mels.dtype)
         return {'mel': mels.astype(jnp.float32), 'expanded_mask': expanded_mask,

@@ -5,11 +5,12 @@ The reference MHA (model/layers.py:105-151) projects
 dense — instead of the usual attention-only projection. This is
 checkpoint-shape critical, so it is preserved here.
 
-Two compute paths:
-- a jnp softmax path that also returns attention weights (needed by the
-  Aligner teacher, diagonal-forcing losses and TensorBoard diagnostics);
-- a fused Pallas flash-attention path (ops/flash_attention.py) used when
-  weights are not needed — O(T) memory, MXU-resident.
+The jnp softmax path also returns attention weights (needed by the Aligner
+teacher, diagonal-forcing losses and TensorBoard diagnostics). At this
+model's scale (2 heads, T <= ~1000) attention is a small slice of step time
+— the device profile shows conv fusions dominating — so the Pallas
+flash-attention kernel (ops/flash_attention.py) is kept as reference code
+with its own tests but is deliberately NOT wired into the model.
 """
 from typing import Optional, Tuple
 
@@ -73,24 +74,11 @@ class MultiHeadAttention:
 
     def apply(self, params: core.Params, v_in: jax.Array, k_in: jax.Array,
               q_in: jax.Array, mask: Optional[jax.Array],
-              rng: Optional[jax.Array] = None, deterministic: bool = True,
-              use_flash: bool = False) -> Tuple[jax.Array, jax.Array]:
+              rng: Optional[jax.Array] = None, deterministic: bool = True
+              ) -> Tuple[jax.Array, jax.Array]:
         q = self._split_heads(self.wq.apply(params['wq'], q_in))
         k = self._split_heads(self.wk.apply(params['wk'], k_in))
         v = self._split_heads(self.wv.apply(params['wv'], v_in))
-        if (use_flash and deterministic and mask is not None
-                and mask.ndim == 4 and mask.shape[1] == 1
-                and mask.shape[2] == 1):
-            # fused Pallas path: padding-mask attention, weights not
-            # materialized (inference only — no attention dropout)
-            from transformertts_tpu.ops.flash_attention import flash_attention
-            bias = jnp.squeeze(mask, axis=(1, 2)) * NEG_INF
-            attn = flash_attention(q, k, v, bias)
-            weights = None
-            attn = self._merge_heads(attn)
-            out = self.wo.apply(params['wo'],
-                                jnp.concatenate([q_in, attn], axis=-1))
-            return out, weights
         attn_rng, out_rng = (jax.random.split(rng) if rng is not None
                              else (None, None))
         attn, weights = scaled_dot_product_attention(

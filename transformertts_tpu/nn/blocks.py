@@ -132,11 +132,9 @@ class SelfAttentionResNorm:
     def init(self, key) -> core.Params:
         return core.init_submodules(key, {'mha': self.mha, 'ln': self.ln})
 
-    def apply(self, params, x, mask, rng=None, deterministic=True,
-              use_flash=False):
+    def apply(self, params, x, mask, rng=None, deterministic=True):
         attn_out, weights = self.mha.apply(params['mha'], x, x, x, mask,
-                                           rng, deterministic,
-                                           use_flash=use_flash)
+                                           rng, deterministic)
         return self.ln.apply(params['ln'], attn_out + x), weights
 
 
@@ -149,11 +147,10 @@ class SelfAttentionDenseBlock:
     def init(self, key) -> core.Params:
         return core.init_submodules(key, {'sarn': self.sarn, 'ffn': self.ffn})
 
-    def apply(self, params, x, mask, rng=None, deterministic=True,
-              use_flash=False):
+    def apply(self, params, x, mask, rng=None, deterministic=True):
         r1, r2 = _maybe_split(rng, 2)
         attn_out, weights = self.sarn.apply(params['sarn'], x, mask, r1,
-                                            deterministic, use_flash)
+                                            deterministic)
         # cast: the f32 mask must not promote the bf16 compute path
         keep = (1.0 - jnp.squeeze(mask, axis=(1, 2))[:, :, None]).astype(
             attn_out.dtype)                                       # (B, T, 1)
@@ -173,11 +170,10 @@ class SelfAttentionConvBlock:
     def init(self, key) -> core.Params:
         return core.init_submodules(key, {'sarn': self.sarn, 'conv': self.conv})
 
-    def apply(self, params, x, mask, rng=None, deterministic=True,
-              use_flash=False):
+    def apply(self, params, x, mask, rng=None, deterministic=True):
         r1, r2 = _maybe_split(rng, 2)
         attn_out, weights = self.sarn.apply(params['sarn'], x, mask, r1,
-                                            deterministic, use_flash)
+                                            deterministic)
         keep = (1.0 - jnp.squeeze(mask, axis=(1, 2))[:, :, None]).astype(
             attn_out.dtype)
         attn_out = attn_out * keep
@@ -218,8 +214,7 @@ class SelfAttentionBlocks:
         return params
 
     def apply(self, params, x, mask, rng=None, deterministic=True,
-              reduction_factor: int = 1, pos_offset: int = 0,
-              use_flash: bool = False):
+              reduction_factor: int = 1, pos_offset: int = 0):
         seq_len = x.shape[1]
         y = self.ln.apply(params['ln'], x)
         pe = jax.lax.dynamic_slice_in_dim(
@@ -235,12 +230,12 @@ class SelfAttentionBlocks:
         attention_weights = {}
         for i, block in enumerate(self.dense_layers):
             y, w = block.apply(params[f'dense_{i}'], y, mask, rngs[1 + i],
-                               deterministic, use_flash)
+                               deterministic)
             attention_weights[f'{self.name}_DenseBlock{i + 1}_SelfAttention'] = w
         off = 1 + len(self.dense_layers)
         for i, block in enumerate(self.conv_layers):
             y, w = block.apply(params[f'conv_{i}'], y, mask, rngs[off + i],
-                               deterministic, use_flash)
+                               deterministic)
             attention_weights[f'{self.name}_ConvBlock{i + 1}_SelfAttention'] = w
         return y, attention_weights
 

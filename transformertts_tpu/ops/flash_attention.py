@@ -1,11 +1,19 @@
-"""Fused attention kernel (Pallas TPU).
+"""Fused attention kernel (Pallas TPU) — REFERENCE CODE, not wired into the
+models.
+
+At this framework's published model scale (2 heads, d=384, T <= ~1000)
+attention is a small slice of step time — the device profile shows conv
+fusions dominating — and the Aligner path needs the attention weights
+materialized anyway (duration extraction, diagonal-forcing losses). The
+measured end-to-end win was ~3-5% on the inference path only, so the model
+config knob that enabled this kernel was removed; the kernel stays here,
+tested (tests/test_flash_attention.py), as the starting point should a
+future config (more heads, longer sequences) make attention hot.
 
 The reference materializes full (B, H, Tq, Tk) attention-weight tensors in
-HBM for every layer (model/layers.py:154-195) because its training loop and
-duration extraction consume the maps. On the inference path the maps are
-unused, so this kernel computes ``softmax(qk^T/√d + bias) v`` tile-by-tile
-in VMEM and never writes the weights to HBM — removing the O(T²) HBM traffic
-that dominates attention at mel lengths (~1200 frames).
+HBM for every layer (model/layers.py:154-195). This kernel computes
+``softmax(qk^T/√d + bias) v`` tile-by-tile in VMEM and never writes the
+weights to HBM — removing the O(T²) HBM traffic.
 
 Shape regime: d_head ≤ 256 and T ≤ ~2048, so a whole K/V sequence for one
 (batch, head) fits comfortably in VMEM (1280×192×4B ≈ 1 MB). The kernel
