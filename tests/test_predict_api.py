@@ -115,3 +115,20 @@ def test_apply_platform_env(monkeypatch):
     monkeypatch.setenv('JAX_PLATFORMS', 'cpu')
     apply_platform_env()   # backends already initialized on cpu: no-op OK
     assert jax.devices()[0].platform == 'cpu'
+
+
+def test_old_config_with_removed_flash_knob_loads(model, tmp_path):
+    """Model dirs saved before the use_flash_attention knob was removed
+    still load: unknown config keys are absorbed by **kwargs."""
+    import yaml
+    d = tmp_path / 'old_model'
+    model.save_model(d)
+    cfg_path = d / 'config.yaml'
+    with open(cfg_path) as f:
+        cfg = yaml.safe_load(f)
+    cfg['use_flash_attention'] = True  # obsolete knob from an old save
+    with open(cfg_path, 'w') as f:
+        yaml.safe_dump(cfg, f, allow_unicode=True)
+    loaded = ForwardTransformer.load_model(str(d))
+    out = loaded.predict("hi", max_frames=40)
+    assert np.isfinite(np.asarray(out['mel'])).all()
