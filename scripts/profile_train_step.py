@@ -91,6 +91,22 @@ def main():
     s, aux = trainer.train_step(state, dbatch)
     float(aux['loss'])  # compile + sync
 
+    # per-instruction bytes from the optimized HLO: lets the top-op table
+    # show achieved HBM bandwidth per fusion (scripts/hlo_bytes.py)
+    traffic = {}
+    try:
+        from scripts.hlo_bytes import op_traffic, parse_hlo_instructions
+        if args.model == 'aligner':
+            lowered = trainer._train_step.lower(s, dbatch, 1, False, False,
+                                                False)
+        else:
+            lowered = trainer._train_step.lower(s, dbatch)
+        hlo_text = lowered.compile().as_text()
+        traffic = op_traffic(parse_hlo_instructions(hlo_text))
+        print(f'parsed {len(traffic)} HLO instructions for byte estimates')
+    except Exception as exc:  # best-effort annotation
+        print(f'HLO byte annotation unavailable: {exc}')
+
     import shutil
     shutil.rmtree(args.trace_dir, ignore_errors=True)
     jax.profiler.start_trace(args.trace_dir)
@@ -142,10 +158,18 @@ def main():
         print(f'  {cat:<32} {ps / 1e9 / args.iters:8.3f} ms '
               f'{100 * ps / total_ps:5.1f}%')
     print(f'\n-- top {args.top} ops {"-" * 40}')
+    from scripts.hlo_bytes import match_xplane_name
     for name, (ps, n, cat) in sorted(per_op.items(),
                                      key=lambda kv: -kv[1][0])[:args.top]:
+        t = traffic.get(match_xplane_name(name))
+        if t is not None and ps:
+            per_occ_ps = ps / max(n, 1)
+            bw = t['total_bytes'] / (per_occ_ps / 1e12) / 1e9
+            extra = f' {t["total_bytes"] / 1e6:7.1f}MB {bw:6.0f}GB/s'
+        else:
+            extra = ''
         print(f'  {ps / 1e9 / args.iters:8.3f} ms {100 * ps / total_ps:5.1f}% '
-              f'x{n // args.iters:<4} [{cat:<20}] {name[:90]}')
+              f'x{n // args.iters:<4} [{cat:<20}]{extra} {name[:80]}')
     return 0
 
 
