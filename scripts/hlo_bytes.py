@@ -79,6 +79,45 @@ def parse_hlo_instructions(hlo_text: str):
     return instrs
 
 
+def parse_entry_instructions(hlo_text: str):
+    """Like parse_hlo_instructions but ONLY the ENTRY computation — i.e. the
+    top-level op sequence whose boundaries are real HBM reads/writes (fusion
+    bodies stay in VMEM and must not be counted)."""
+    lines = hlo_text.splitlines()
+    out_lines = []
+    in_entry = False
+    for line in lines:
+        if line.startswith('ENTRY '):
+            in_entry = True
+            continue
+        if in_entry:
+            if line.startswith('}'):
+                break
+            out_lines.append(line)
+    return parse_hlo_instructions('\n'.join(out_lines))
+
+
+def entry_traffic_bytes(hlo_text: str) -> int:
+    """Fusion-boundary HBM traffic estimate for the module: every ENTRY
+    instruction's output written once + operands read once.  Parameters
+    (inputs) are counted where they are consumed; constants too.  This is a
+    lower bound than XLA's 'bytes accessed' aggregate (which double-counts
+    padding/layout and some re-reads) but closer to what actually crosses
+    HBM."""
+    instrs = parse_entry_instructions(hlo_text)
+    total = 0
+    for name, info in instrs.items():
+        if info['opcode'] in ('parameter', 'constant', 'tuple',
+                              'get-tuple-element', 'bitcast'):
+            continue  # no data movement of their own
+        total += info['bytes']
+        for op in info['operands']:
+            src = instrs.get(op)
+            if src is not None and src['opcode'] not in ('tuple',):
+                total += src['bytes']
+    return total
+
+
 def op_traffic(instrs: dict) -> dict:
     """For each instruction: output bytes + sum of operand output bytes
     (= HBM traffic if every operand is read once and the result written

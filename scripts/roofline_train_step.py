@@ -91,21 +91,31 @@ def main():
                 s, dbatch, args.r, False, False, False)
         else:
             lowered = trainer._train_step.lower(s, dbatch)
-        ca = lowered.compile().cost_analysis() or {}
+        compiled = lowered.compile()
+        ca = compiled.cost_analysis() or {}
         flops = ca.get('flops', float('nan'))
         byts = ca.get('bytes accessed', float('nan'))
+        # XLA's aggregate double-counts (measured eff > 1.0 at bucket 0);
+        # fusion-boundary traffic from the ENTRY computation is tighter
+        try:
+            from scripts.hlo_bytes import entry_traffic_bytes
+            fb_bytes = entry_traffic_bytes(compiled.as_text())
+        except Exception:
+            fb_bytes = float('nan')
         t_mxu = flops / (args.peak_tflops * 1e12)
-        t_hbm = byts / (args.peak_gbps * 1e9)
+        t_hbm = fb_bytes / (args.peak_gbps * 1e9)
         bound = max(t_mxu, t_hbm)
         kind = 'compute' if t_mxu >= t_hbm else 'memory'
         rows.append({'bucket': f'B{b}x{n_frames}f', 'measured_ms': dt * 1e3,
-                     'gflop': flops / 1e9, 'gb': byts / 1e9,
+                     'gflop': flops / 1e9, 'gb': fb_bytes / 1e9,
+                     'gb_xla': byts / 1e9,
                      't_mxu_ms': t_mxu * 1e3, 't_hbm_ms': t_hbm * 1e3,
                      'bound': kind, 'efficiency': bound / dt})
         print(f'B{b:>3} x {n_frames:>4}f x {n_tok:>3}t '
-              f'{dt * 1e3:8.1f} {flops / 1e9:8.1f} {byts / 1e9:7.2f} '
+              f'{dt * 1e3:8.1f} {flops / 1e9:8.1f} {fb_bytes / 1e9:7.2f} '
               f'{t_mxu * 1e3:7.1f} {t_hbm * 1e3:7.1f} '
-              f'{kind + " bound":>12} {bound / dt:6.2f}')
+              f'{kind + " bound":>12} {bound / dt:6.2f}'
+              f'   (xla-agg {byts / 1e9:.1f} GB)')
     import json
     print(json.dumps(rows))
 
