@@ -57,6 +57,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--iters', type=int, default=15)
     ap.add_argument('--bucket', type=int, default=0)
+    ap.add_argument('--tiny', action='store_true',
+                    help='tiny shapes — CPU smoke test of the stubs')
     args = ap.parse_args()
 
     from transformertts_tpu.utils.scripts_utils import enable_compilation_cache
@@ -70,6 +72,8 @@ def main():
     import transformertts_tpu.training as training_pkg
 
     bucket = [(256, 64, 48), (512, 32, 96), (896, 16, 160)][args.bucket]
+    if args.tiny:
+        bucket = (32, 2, 12)
 
     results = {}
     results['base'] = fresh(args.iters, bucket)

@@ -41,6 +41,8 @@ def main():
     ap.add_argument('--bucket', type=int, default=None)
     ap.add_argument('--peak_tflops', type=float, default=197.0)
     ap.add_argument('--peak_gbps', type=float, default=819.0)
+    ap.add_argument('--tiny', action='store_true',
+                    help='tiny shapes — CPU smoke test of the HLO parsing')
     args = ap.parse_args()
     from transformertts_tpu.utils.scripts_utils import enable_compilation_cache
     enable_compilation_cache()
@@ -59,6 +61,8 @@ def main():
     buckets = [(256, 64, 48), (512, 32, 96), (896, 16, 160)]
     if args.bucket is not None:
         buckets = [buckets[args.bucket]]
+    if args.tiny:
+        buckets = [(32, 2, 12)]
     hdr = (f'{"bucket":>20} {"meas ms":>8} {"GFLOP":>8} {"GB":>7} '
            f'{"t_mxu":>7} {"t_hbm":>7} {"bound":>12} {"eff":>6}')
     print(hdr)
