@@ -30,12 +30,9 @@ def collect_device_events(xspace_path):
                 and 'device' not in plane.name:
             continue
         stat_names = {i: m.name for i, m in plane.stat_metadata.items()}
+        # every line is collected (with its name) — the caller picks the
+        # per-op line ("XLA Ops" on TPU) from the printed timeline summary
         for line in plane.lines:
-            if 'XLA Ops' not in line.name and 'XLA TraceMe' not in line.name \
-                    and line.name != 'Steps':
-                # on TPU the per-op line is usually named "XLA Ops"; fall
-                # back to any line whose events carry hlo stats
-                pass
             for ev in line.events:
                 md = plane.event_metadata[ev.metadata_id]
                 cat = ''
@@ -56,6 +53,9 @@ def main():
     ap.add_argument('--bucket', type=int, default=0)
     ap.add_argument('--iters', type=int, default=10)
     ap.add_argument('--model', choices=['tts', 'aligner'], default='tts')
+    ap.add_argument('--r', type=int, default=1,
+                    help='aligner reduction factor (must match the lowering '
+                         'used for byte annotations)')
     ap.add_argument('--trace_dir', default='/tmp/train_profile')
     ap.add_argument('--top', type=int, default=30)
     ap.add_argument('--dump', default=None,
@@ -88,7 +88,8 @@ def main():
         stop[:, -1] = 2
         batch = {'tokens': tokens, 'mel': mel, 'stop_probs': stop}
     dbatch = trainer.shard_batch(batch)
-    s, aux = trainer.train_step(state, dbatch)
+    step_kw = {'r': args.r} if args.model == 'aligner' else {}
+    s, aux = trainer.train_step(state, dbatch, **step_kw)
     float(aux['loss'])  # compile + sync
 
     # per-instruction bytes from the optimized HLO: lets the top-op table
@@ -97,8 +98,10 @@ def main():
     try:
         from scripts.hlo_bytes import op_traffic, parse_hlo_instructions
         if args.model == 'aligner':
-            lowered = trainer._train_step.lower(s, dbatch, 1, False, False,
-                                                False)
+            # MUST lower at the same r the profiled step runs at, or the
+            # xplane op names get matched against a different executable
+            lowered = trainer._train_step.lower(s, dbatch, args.r, False,
+                                                False, False)
         else:
             lowered = trainer._train_step.lower(s, dbatch)
         hlo_text = lowered.compile().as_text()
@@ -111,7 +114,7 @@ def main():
     shutil.rmtree(args.trace_dir, ignore_errors=True)
     jax.profiler.start_trace(args.trace_dir)
     for _ in range(args.iters):
-        s, aux = trainer.train_step(s, dbatch)
+        s, aux = trainer.train_step(s, dbatch, **step_kw)
     float(aux['loss'])
     jax.profiler.stop_trace()
 

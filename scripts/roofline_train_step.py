@@ -106,6 +106,11 @@ def main():
             fb_bytes = entry_traffic_bytes(compiled.as_text())
         except Exception:
             fb_bytes = float('nan')
+        if not np.isfinite(fb_bytes) or fb_bytes <= 0:
+            # parser failed: fall back to XLA's aggregate (overcounts, but a
+            # labeled verdict beats a NaN one)
+            print('  (entry-traffic parse failed; using XLA aggregate bytes)')
+            fb_bytes = byts
         t_mxu = flops / (args.peak_tflops * 1e12)
         t_hbm = fb_bytes / (args.peak_gbps * 1e9)
         bound = max(t_mxu, t_hbm)

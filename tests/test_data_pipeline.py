@@ -339,4 +339,6 @@ def test_input_wait_zero_when_loader_ahead():
     ds.take_input_wait_ms()       # discard startup wait for the first batch
     for _ in it:
         time.sleep(0.01)
-    assert ds.take_input_wait_ms() < 5.0
+    # generous margin: a loaded CI host can add a few ms of scheduling
+    # latency per get(); a genuinely slow loader would be 100s of ms here
+    assert ds.take_input_wait_ms() < 50.0

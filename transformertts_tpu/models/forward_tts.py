@@ -320,7 +320,11 @@ class ForwardTransformer:
                 f"neural vocoders expect MelGAN-normalized mels, but this "
                 f"model was trained with normalizer={norm!r}; use the "
                 f"Griffin-Lim path instead")
-        key = ('vocoder', id(vocoder))
+        # architecture-keyed (like _audio_cache_key): a serving process that
+        # loads a fresh vocoder per request reuses one executable instead of
+        # accumulating one per object id
+        key = ('vocoder', vocoder.cache_key() if hasattr(vocoder, 'cache_key')
+               else id(vocoder))
         if key not in self._jit_decode_wav:
             from transformertts_tpu.models.melgan import LOG_MEL_SILENCE
 

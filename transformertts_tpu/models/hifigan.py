@@ -71,6 +71,16 @@ class HiFiGANVocoder:
         self.params = None
         self._jit_cache = {}
 
+    def cache_key(self) -> tuple:
+        """Static-architecture key: two HiFiGAN objects with equal keys have
+        identical ``apply`` semantics (params are call arguments), so jitted
+        executables can be shared instead of keyed on object identity."""
+        return ('HiFiGAN', self.mel_channels, self.resblock_type,
+                tuple(self.upsample_rates),
+                tuple(self.upsample_kernel_sizes), self.initial_channel,
+                tuple(self.resblock_kernel_sizes),
+                tuple(tuple(d) for d in self.resblock_dilation_sizes))
+
     # ---------------------------------------------------------------- init
 
     def init_params(self, rng) -> dict:

@@ -70,6 +70,13 @@ class MelGANVocoder:
         self.params = None
         self._jit_cache = {}
 
+    def cache_key(self) -> tuple:
+        """Static-architecture key: two MelGAN objects with equal keys have
+        identical ``apply`` semantics (params are call arguments), so jitted
+        executables can be shared instead of keyed on object identity."""
+        return ('MelGAN', self.mel_channels, self.base_channels,
+                self.upsample_rates, self.res_dilations)
+
     # ---------------------------------------------------------------- init
 
     def init_params(self, rng) -> list:

@@ -26,10 +26,26 @@ def unwrap_torch_checkpoint(path, allow_pickle: bool = False) -> dict:
     whole pickled ``nn.Module``) is refused unless ``allow_pickle=True`` is
     passed explicitly — that executes code from the checkpoint file.
     """
+    import pickle
+
     import torch
     try:
         blob = torch.load(path, map_location='cpu', weights_only=True)
-    except Exception as exc:
+    except TypeError as exc:
+        # torch < 1.13 has no weights_only kwarg — the safe loader does not
+        # exist there, so honour the same opt-in contract
+        if not allow_pickle:
+            raise ValueError(
+                f'this torch build does not support '
+                f'torch.load(weights_only=True) ({exc}); pass '
+                f'allow_pickle=True to load {path} with full unpickling '
+                f'(this executes code from the file).') from exc
+        blob = torch.load(path, map_location='cpu')
+    except (pickle.UnpicklingError, RuntimeError) as exc:
+        # weights_only refused the content (pickled code/objects inside).
+        # File-level problems (missing/corrupt/truncated: OSError, EOFError,
+        # zipfile errors) propagate unchanged — allow_pickle can't fix those
+        # and the advice to pass it would be misleading.
         if not allow_pickle:
             raise ValueError(
                 f'{path} is not a plain tensor checkpoint '

@@ -118,11 +118,16 @@ class Phonemizer:
                 [binary, '-q', '--ipa', '-v', language, '--stdin'],
                 input='\n'.join(chunk),
                 capture_output=True, text=True, check=True)
-            lines = [ln for ln in
-                     (s.strip() for s in result.stdout.split('\n'))
-                     if ln]
-            if len(lines) != len(chunk):
-                # pairing broke (e.g. a clause emitted 0 or 2 lines):
+            # keep EMPTY lines: they carry pairing information. Filtering
+            # them out would let a clause that emits nothing compensate for
+            # a clause that splits into two lines, mis-pairing the rest of
+            # the chunk while the total count still matches.
+            lines = [s.strip() for s in result.stdout.split('\n')]
+            while lines and not lines[-1]:  # trailing newline(s) of stdout
+                lines.pop()
+            if len(lines) != len(chunk) or not all(lines):
+                # pairing broke (count mismatch, or some clause produced an
+                # empty line — suspicious for non-empty input either way):
                 # re-run this chunk one clause per process
                 lines = []
                 for clause in chunk:
