@@ -127,9 +127,47 @@ def main():
         blocks_mod.CNNResNorm.apply = orig_cnn_apply
         print(f'{key:>12} remat both  : {r_both:7.2f} ms/step '
               f'(Δ {base - r_both:+.2f})', flush=True)
+
+        # flash kernel arm + its fair control: the kernel has no
+        # attention-weight dropout, so compare it against the jnp path with
+        # weight dropout forced off (out-projection dropout stays on in both)
+        def nodrop_sdpa(q, k, v, mask, dropout_rate=0.0, rng=None,
+                        deterministic=True):
+            return orig_sdpa(q, k, v, mask, 0.0, None, True)
+
+        attention_mod.scaled_dot_product_attention = nodrop_sdpa
+        r_nodrop = measure(args.iters, bucket)
+        print(f'{key:>12} jnp no-wdrop: {r_nodrop:7.2f} ms/step '
+              f'(Δ {base - r_nodrop:+.2f})', flush=True)
+
+        from transformertts_tpu.ops.flash_attention import (
+            flash_attention_trainable)
+
+        def flash_sdpa(q, k, v, mask, dropout_rate=0.0, rng=None,
+                       deterministic=True):
+            if mask is None:
+                bias = jnp.zeros((q.shape[0], k.shape[2]), jnp.float32)
+            else:
+                # framework mask: 1 = masked, broadcastable (B,1,1,Tk)
+                bias = (mask.reshape(mask.shape[0], mask.shape[-1])
+                        .astype(jnp.float32)) * -1e9
+            out = flash_attention_trainable(q, k, v, bias)
+            # weights are DCE'd in TTS training (return_attention=False)
+            b, h, tq, _ = q.shape
+            weights = jnp.zeros((b, h, tq, k.shape[2]), jnp.float32)
+            return out, weights
+
+        attention_mod.scaled_dot_product_attention = flash_sdpa
+        r_flash = measure(args.iters, bucket)
+        attention_mod.scaled_dot_product_attention = orig_sdpa
+        print(f'{key:>12} flash kernel: {r_flash:7.2f} ms/step '
+              f'(Δ vs no-wdrop {r_nodrop - r_flash:+.2f})', flush=True)
+
         results[key] = {'base': round(base, 3), 'remat_attn': round(r_attn, 3),
                         'remat_cnnres': round(r_cnn, 3),
-                        'remat_both': round(r_both, 3)}
+                        'remat_both': round(r_both, 3),
+                        'jnp_no_wdrop': round(r_nodrop, 3),
+                        'flash': round(r_flash, 3)}
 
     import json
     print(json.dumps(results))
