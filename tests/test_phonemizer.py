@@ -113,3 +113,30 @@ def test_espeak_line_count_mismatch_falls_back(tmp_path, monkeypatch):
     out = p('alpha, beta! delta')
     assert out == 'alpha,beta!delta'
     ph._find_espeak.cache_clear()
+
+
+def test_espeak_compensating_desync_detected(tmp_path, monkeypatch):
+    """One clause emitting an EMPTY line while another splits into two keeps
+    the total count correct — the old count-only check mis-paired the whole
+    chunk. Empty lines must be kept and treated as a desync trigger."""
+    weird = _FAKE_ESPEAK.replace(
+        "for l in lines:\n"
+        "    # \"IPA\": lowercase words with a fake stress mark prefix per word\n"
+        "    print(' '.join('ˈ' + w.lower() for w in l.split()))",
+        "for l in lines:\n"
+        "    if '--stdin' in args and l.strip().startswith('zz'):\n"
+        "        print('')          # espeak emitted nothing for this line\n"
+        "    elif '--stdin' in args and l.strip().startswith('xx'):\n"
+        "        print('split one')\n"
+        "        print('split two')  # espeak broke the line in two\n"
+        "    else:\n"
+        "        print(' '.join('ˈ' + w.lower() for w in l.split()))")
+    assert weird != _FAKE_ESPEAK, 'replacement target drifted'
+    ph = _install_fake_espeak(tmp_path, monkeypatch, script=weird)
+    p = ph.Phonemizer(language='en-us', with_stress=False, backend='espeak')
+    # both pathological clauses in ONE chunk: count matches (1 empty + 2
+    # split = 2 lines for 2 clauses after the old empty-filter), so only the
+    # empty-line check catches it and forces the per-clause fallback
+    out = p('zzfoo, xxbar')
+    assert out == 'zzfoo,xxbar'
+    ph._find_espeak.cache_clear()
