@@ -29,19 +29,20 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 from measure_train_step import build, make_batch  # noqa: E402
 
 
-def measure(iters, bucket):
+def measure(iters, bucket, return_loss=False):
     model, trainer, state = build()
     rng = np.random.default_rng(0)
     n_frames, b, n_tok = bucket
     batch = make_batch(model, b, n_tok, n_frames, rng)
     dbatch = trainer.shard_batch(batch)
     s, aux = trainer.train_step(state, dbatch)
-    float(aux['loss'])
+    first_loss = float(aux['loss'])
     t0 = time.perf_counter()
     for _ in range(iters):
         s, aux = trainer.train_step(s, dbatch)
     float(aux['loss'])
-    return (time.perf_counter() - t0) / iters * 1e3
+    dt = (time.perf_counter() - t0) / iters * 1e3
+    return (dt, first_loss) if return_loss else dt
 
 
 def main():
@@ -101,12 +102,50 @@ def main():
             policy=jax.checkpoint_policies.nothing_saveable)
         return fn(params, x, rng)
 
+    from transformertts_tpu.nn import core as core_mod
+
+    orig_conv_apply = core_mod.Conv1D.apply
+
+    def unfold_conv_apply(self, params, x):
+        # k shifted copies concatenated channel-wise -> ONE (B,T,kC)@(kC,F)
+        # GEMM; measured 198 TF/s fwd in isolation vs 167 for lax.conv
+        # (scripts/bench_conv_formulations.py). SAME/stride-1 only (all the
+        # model's convs). Matches XLA SAME alignment: pad (k-1)//2 low.
+        if self.padding != 'SAME':
+            return orig_conv_apply(self, params, x)
+        ksz = self.kernel_size
+        b, t, c = x.shape
+        kcast = params['kernel'].astype(x.dtype)
+        left = (ksz - 1) // 2
+        xp = jnp.pad(x, ((0, 0), (left, ksz - 1 - left), (0, 0)))
+        xcat = jnp.concatenate([xp[:, i:i + t] for i in range(ksz)], axis=-1)
+        pet = jnp.float32 if x.dtype == jnp.float32 else None
+        y = jax.lax.dot_general(
+            xcat, kcast.reshape(ksz * c, -1),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            precision=core_mod.matmul_precision(x.dtype),
+            preferred_element_type=pet)
+        y = y + params['bias'].astype(y.dtype)
+        return self.act(y).astype(x.dtype)
+
     results = {}
     for n_frames, b, n_tok in sel:
         key = f'B{b}x{n_frames}f'
         bucket = (n_frames, b, n_tok)
-        base = measure(args.iters, bucket)
+        base, base_loss = measure(args.iters, bucket, return_loss=True)
         print(f'{key:>12} base        : {base:7.2f} ms/step', flush=True)
+
+        core_mod.Conv1D.apply = unfold_conv_apply
+        r_unfold, unfold_loss = measure(args.iters, bucket, return_loss=True)
+        core_mod.Conv1D.apply = orig_conv_apply
+        # bf16 activations: GEMM-vs-conv f32 reassociation flips ~1-ulp
+        # (0.4%) on some elements; tolerate <1% relative at the loss
+        drift = abs(unfold_loss - base_loss)
+        assert drift < 0.01 * abs(base_loss), \
+            f'unfold-GEMM loss drift {drift} vs base {base_loss}'
+        print(f'{key:>12} unfold conv : {r_unfold:7.2f} ms/step '
+              f'(Δ {base - r_unfold:+.2f}, loss drift {drift:.2e})',
+              flush=True)
 
         attention_mod.scaled_dot_product_attention = remat_sdpa
         r_attn = measure(args.iters, bucket)
@@ -167,7 +206,8 @@ def main():
                         'remat_cnnres': round(r_cnn, 3),
                         'remat_both': round(r_both, 3),
                         'jnp_no_wdrop': round(r_nodrop, 3),
-                        'flash': round(r_flash, 3)}
+                        'flash': round(r_flash, 3),
+                        'unfold_conv': round(r_unfold, 3)}
 
     import json
     print(json.dumps(results))
