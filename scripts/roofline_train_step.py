@@ -102,8 +102,29 @@ def main():
         # XLA's aggregate double-counts (measured eff > 1.0 at bucket 0);
         # fusion-boundary traffic from the ENTRY computation is tighter
         try:
-            from scripts.hlo_bytes import entry_traffic_bytes
-            fb_bytes = entry_traffic_bytes(compiled.as_text())
+            from scripts.hlo_bytes import (entry_traffic_bytes, op_traffic,
+                                           parse_entry_instructions)
+            hlo_text = compiled.as_text()
+            fb_bytes = entry_traffic_bytes(hlo_text)
+            # where do the bytes go: top entry ops + totals per opcode
+            instrs = parse_entry_instructions(hlo_text)
+            tr = op_traffic(instrs)
+            from collections import defaultdict
+            by_opcode = defaultdict(float)
+            skip = ('parameter', 'constant', 'tuple', 'get-tuple-element',
+                    'bitcast')
+            for name, info in tr.items():
+                if instrs[name]['opcode'] in skip:
+                    continue
+                by_opcode[info['opcode']] += info['total_bytes']
+            print('  traffic by opcode (GB):', {
+                k: round(v / 1e9, 2) for k, v in
+                sorted(by_opcode.items(), key=lambda kv: -kv[1])[:8]})
+            top = sorted(((v['total_bytes'], n, v['opcode'])
+                          for n, v in tr.items()
+                          if instrs[n]['opcode'] not in skip), reverse=True)
+            for byt, name, opc in top[:6]:
+                print(f'    {byt / 1e6:9.1f} MB  {opc:<10} {name[:60]}')
         except Exception:
             fb_bytes = float('nan')
         if not np.isfinite(fb_bytes) or fb_bytes <= 0:
