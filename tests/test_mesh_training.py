@@ -206,3 +206,31 @@ def test_tp_param_specs_rule_table():
     assert specs['other']['proj']['kernel'] == P()
     assert specs['odd']['ffn']['d1']['kernel'] == P()
     assert any('does not divide' in str(w.message) for w in rec)
+
+
+def test_train_tts_cli_grad_accumulation(tmp_path_factory):
+    """grad_accumulation: 2 in tts_settings drives the accumulated step from
+    config alone, composed with DP sharding, through the real CLI."""
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    import train_tts
+    from transformertts_tpu.training import checkpointing
+    from transformertts_tpu.utils.config import TrainingConfigManager
+
+    tmp = tmp_path_factory.mktemp('ga_train')
+    cfg = _write_config(tmp, mesh={'data': 4, 'model': 2}, max_steps=2)
+    with open(cfg) as f:
+        c = yaml.safe_load(f)
+    c['tts_settings']['grad_accumulation'] = 2
+    with open(cfg, 'w') as f:
+        yaml.safe_dump(c, f)
+    cm = TrainingConfigManager(cfg, aligner=False)
+    assert cm.get_trainer(cm.get_model()).grad_accumulation == 2
+    _write_tts_artifacts(cm, [f'g{i}' for i in range(8)])
+    train_tts.main(['--config', str(cfg), '--yes'])
+
+    state = cm.get_trainer(cm.get_model()).init_state(jax.random.PRNGKey(0))
+    restored = checkpointing.restore_latest(cm.weights_dir, state)
+    assert restored is not None and int(restored.step) >= 2
+    leaves = jax.tree_util.tree_leaves(restored.params)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)

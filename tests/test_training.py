@@ -126,3 +126,104 @@ def test_log_duration_histograms_batched_rows():
     np.testing.assert_allclose(sorted(a_target), [2.0, 2.0])
     b_target = [v for t, v, _ in calls if t == 'DurationsTarget/b'][0]
     np.testing.assert_allclose(b_target, [3.0])
+
+
+# ---------------------------------------------------------------------------
+# gradient accumulation
+# ---------------------------------------------------------------------------
+
+def _dropout_free_model():
+    return ForwardTransformer(
+        encoder_model_dimension=64, decoder_model_dimension=64,
+        dropout_rate=0.0, decoder_num_heads=[2], encoder_num_heads=[2],
+        encoder_max_position_encoding=200, decoder_max_position_encoding=400,
+        encoder_dense_blocks=1, decoder_dense_blocks=1,
+        duration_conv_filters=[32, 16], pitch_conv_filters=[32, 16],
+        duration_kernel_size=3, pitch_kernel_size=3, predictors_dropout=0.0,
+        mel_channels=20, phoneme_language='en-us', with_stress=False,
+        model_breathing=True, encoder_feed_forward_dimension=64,
+        decoder_feed_forward_dimension=64)
+
+
+def _uniform_batch(model, b=8, n_tok=16, n_frames=64, seed=3):
+    """Every sample has the SAME valid token/frame counts, so the masked-MAE
+    mean over any micro-batch split equals the full-batch value and
+    accumulated gradients must match the single-batch gradients exactly."""
+    rng = np.random.default_rng(seed)
+    durations = np.zeros((b, n_tok), np.float32)
+    durations[:, :12] = 4.0
+    mel = np.zeros((b, n_frames, 20), np.float32)
+    mel[:, :48] = rng.standard_normal((b, 48, 20)).astype(np.float32)
+    tokens = np.zeros((b, n_tok), np.int32)
+    tokens[:, :12] = rng.integers(1, model.text_pipeline.tokenizer.vocab_size,
+                                  size=(b, 12))
+    pitch = np.zeros((b, n_tok), np.float32)
+    pitch[:, :12] = rng.standard_normal((b, 12)).astype(np.float32)
+    return {'tokens': tokens, 'mel': mel, 'durations': durations,
+            'pitch': pitch}
+
+
+def test_grad_accumulation_matches_single_batch():
+    model = _dropout_free_model()
+    mesh = make_mesh(MeshConfig(data=1, model=1),
+                     devices=jax.devices('cpu')[:1])
+    params = model.init_params(jax.random.PRNGKey(7))
+    batch = _uniform_batch(model)
+
+    def run(n):
+        # SGD: the update is LINEAR in the gradient, so accumulated-vs-single
+        # gradient equality shows up as param equality. (Adam's first step is
+        # ~sign(g)*lr — it amplifies float-reassociation noise on near-zero
+        # gradients into O(lr) param differences and can't be compared.)
+        import optax
+        trainer = ForwardTrainer(model, optax.sgd(1e-2), mesh=mesh,
+                                 grad_accumulation=n)
+        state = trainer.init_state(params=jax.tree_util.tree_map(
+            lambda x: x.copy(), params))
+        s, aux = trainer.train_step(state, batch)
+        return s, aux
+
+    s1, aux1 = run(1)
+    s2, aux2 = run(2)
+    np.testing.assert_allclose(float(aux1['loss']), float(aux2['loss']),
+                               rtol=1e-5)
+    # compare the UPDATES against a global scale: per-leaf relative
+    # comparison explodes on leaves whose true gradient is zero (wk.bias —
+    # softmax is invariant to a constant key shift, so its computed grad is
+    # pure cancellation noise)
+    d1 = jax.tree_util.tree_map(lambda n, o: np.asarray(n) - np.asarray(o),
+                                s1.params, params)
+    d2 = jax.tree_util.tree_map(lambda n, o: np.asarray(n) - np.asarray(o),
+                                s2.params, params)
+    gscale = max(float(np.max(np.abs(x)))
+                 for x in jax.tree_util.tree_leaves(d1))
+    assert gscale > 0
+    for a, b in zip(jax.tree_util.tree_leaves(d1),
+                    jax.tree_util.tree_leaves(d2)):
+        assert float(np.max(np.abs(a - b))) < 1e-3 * gscale
+    # per-sample aux restacked to the full batch
+    assert aux2['duration_pred'].shape == aux1['duration_pred'].shape
+
+
+def test_grad_accumulation_rejects_indivisible_batch():
+    model = _dropout_free_model()
+    mesh = make_mesh(MeshConfig(data=1, model=1),
+                     devices=jax.devices('cpu')[:1])
+    tx = make_optimizer([(0, 1e-3), (100, 1e-3)])
+    trainer = ForwardTrainer(model, tx, mesh=mesh, grad_accumulation=3)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match='divisible'):
+        trainer.train_step(state, _uniform_batch(model, b=8))
+
+
+def test_grad_accumulation_over_mesh():
+    """Accumulation composes with data-parallel sharding: the leading dim is
+    micro-split inside the jitted step while staying sharded over 'data'."""
+    model = _dropout_free_model()
+    mesh = make_mesh(MeshConfig(data=2, model=1),
+                     devices=jax.devices('cpu')[:2])
+    tx = make_optimizer([(0, 1e-3), (100, 1e-3)])
+    trainer = ForwardTrainer(model, tx, mesh=mesh, grad_accumulation=2)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    s, aux = trainer.train_step(state, _uniform_batch(model, b=8))
+    assert np.isfinite(float(aux['loss']))

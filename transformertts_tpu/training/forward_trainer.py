@@ -61,27 +61,66 @@ class ForwardTrainer(BaseTrainer):
 
     def __init__(self, model, tx: optax.GradientTransformation,
                  mesh: Optional[Mesh] = None, base_rng_seed: int = 42,
-                 return_attention: bool = False):
+                 return_attention: bool = False, grad_accumulation: int = 1):
         super().__init__(model, tx, mesh=mesh, base_rng_seed=base_rng_seed)
         self.return_attention = return_attention
+        # N > 1: split each batch into N micro-batches, lax.scan the fwd+bwd
+        # over them accumulating gradients, ONE Adam update on the mean.
+        # Effective batch = N x what fits in HBM (the 896-frame bucket is
+        # capacity-limited at B16 on one v5e), and optimizer/param traffic
+        # (~2 GB/step at the published scale) is paid once per N
+        # micro-batches. Losses are means of micro-batch losses (standard
+        # grad-accumulation semantics; == the single-batch value when every
+        # micro-batch has the same valid-element count).
+        self.grad_accumulation = int(grad_accumulation)
 
     # ------------------------------------------------------------------ steps
 
-    def _train_step_impl(self, state: TrainState, batch: dict):
-        rng = jax.random.fold_in(self.base_rng, state.step)
+    def _loss_and_grads(self, params, batch: dict, rng):
         (_, (losses, out)), grads = jax.value_and_grad(
             lambda p: forward_loss(self.model, p, batch, rng,
-                                   deterministic=False), has_aux=True)(
-            state.params)
-        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(step=state.step + 1, params=params,
-                               opt_state=opt_state)
+                                   deterministic=False), has_aux=True)(params)
         aux = dict(losses)
         aux['duration_pred'] = out['duration'][..., 0]
         if self.return_attention:
             aux['encoder_attention'] = out['encoder_attention']
             aux['decoder_attention'] = out['decoder_attention']
+        return grads, aux
+
+    def _train_step_impl(self, state: TrainState, batch: dict):
+        rng = jax.random.fold_in(self.base_rng, state.step)
+        n = self.grad_accumulation
+        if n <= 1:
+            grads, aux = self._loss_and_grads(state.params, batch, rng)
+        else:
+            b = next(iter(batch.values())).shape[0]
+            if b % n != 0:
+                raise ValueError(
+                    f'batch size {b} not divisible by '
+                    f'grad_accumulation={n}')
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape((n, b // n) + x.shape[1:]), batch)
+
+            def body(acc, xs):
+                i, mb = xs
+                g, aux = self._loss_and_grads(
+                    state.params, mb, jax.random.fold_in(rng, i))
+                acc = jax.tree_util.tree_map(jnp.add, acc, g)
+                return acc, aux
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            acc, aux_st = jax.lax.scan(
+                body, zeros, (jnp.arange(n), micro))
+            grads = jax.tree_util.tree_map(lambda g: g / n, acc)
+            # scalars -> mean over micro-steps; per-sample arrays
+            # (duration_pred, attention) -> restack to full-batch leading dim
+            aux = {k: (jnp.mean(v, axis=0) if v.ndim == 1
+                       else v.reshape((b,) + v.shape[2:]))
+                   for k, v in aux_st.items()}
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state)
         return new_state, aux
 
     def _val_step_impl(self, state: TrainState, batch: dict):

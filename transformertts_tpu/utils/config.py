@@ -149,7 +149,9 @@ class TrainingConfigManager:
             return AlignerTrainer(model, tx, mesh=mesh,
                                   stop_scaling=self.stop_scaling)
         from transformertts_tpu.training.forward_trainer import ForwardTrainer
-        return ForwardTrainer(model, tx, mesh=mesh)
+        return ForwardTrainer(
+            model, tx, mesh=mesh,
+            grad_accumulation=int(self.config.get('grad_accumulation', 1)))
 
     # ------------------------------------------------------------------ dirs
 
