@@ -41,7 +41,7 @@ def build_aligner():
     return model, trainer, state
 
 
-def build():
+def build(grad_accumulation: int = 1):
     from transformertts_tpu.models.forward_tts import ForwardTransformer
     from transformertts_tpu.training import ForwardTrainer, make_optimizer
     import jax
@@ -60,7 +60,7 @@ def build():
         encoder_attention_conv_kernel=3, decoder_attention_conv_kernel=3,
         compute_dtype='bfloat16')
     tx = make_optimizer([(0.0, 1e-4), (1000.0, 1e-4)])
-    trainer = ForwardTrainer(model, tx)
+    trainer = ForwardTrainer(model, tx, grad_accumulation=grad_accumulation)
     state = trainer.init_state(jax.random.PRNGKey(0))
     return model, trainer, state
 
@@ -86,6 +86,9 @@ def main():
     ap.add_argument('--model', choices=['tts', 'aligner'], default='tts')
     ap.add_argument('--r', type=int, default=1,
                     help='aligner reduction factor (static jit arg)')
+    ap.add_argument('--grad_accumulation', type=int, default=1,
+                    help='tts only: micro-batches per optimizer step; the '
+                         'printed per-step time covers ALL N micro-batches')
     ap.add_argument('--bucket', type=int, default=None,
                     help='measure only this bucket index (one shape per '
                          'process gives the cleanest timing — compiling '
@@ -99,7 +102,7 @@ def main():
 
     if args.model == 'aligner':
         return main_aligner(args)
-    model, trainer, state = build()
+    model, trainer, state = build(args.grad_accumulation)
     rng = np.random.default_rng(0)
     # (bucket frames, batch) pairs from the published bucket config
     # (config/training_config.yaml bucket_boundaries / bucket_batch_sizes)
@@ -109,6 +112,9 @@ def main():
     print(f'{"bucket":>22} {"device ms":>10} {"host-fed ms":>12} '
           f'{"GFLOP/step":>11} {"TFLOP/s":>8} {"frames/s":>10}')
     for n_frames, b, n_tok in buckets:
+        # under accumulation the MICRO-batch is the bucket size; the fed
+        # batch is N x that, so per-micro compute matches the N=1 bucket
+        b = b * args.grad_accumulation
         batch = make_batch(model, b, n_tok, n_frames, rng)
         dbatch = trainer.shard_batch(batch)  # device-resident copy
         # warmup/compile (NOTE: train_step donates its input state — never
