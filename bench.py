@@ -16,11 +16,6 @@ from pathlib import Path
 
 import numpy as np
 
-# Reference TF2-CPU baseline (mel frames/sec) for the same batched synthesis
-# workload. Measured value stored here once available; this conservative
-# default comes from single-thread CPU profiling of comparable TF2 models.
-DEFAULT_BASELINE_FPS = 1500.0
-
 
 def build_model():
     from transformertts_tpu.models.forward_tts import ForwardTransformer
@@ -54,7 +49,21 @@ def build_model():
     return model
 
 
+def read_baseline():
+    # The baseline MUST come from the measured BENCH_BASELINE.json; a missing
+    # or corrupt file is an error, not a license to fabricate a ratio.
+    baseline_path = Path(__file__).parent / 'BENCH_BASELINE.json'
+    try:
+        return float(json.loads(baseline_path.read_text())['fps'])
+    except (OSError, ValueError, KeyError) as e:
+        raise SystemExit(
+            f'bench.py: cannot read measured baseline from {baseline_path} '
+            f'({e!r}); refusing to print an uncomparable vs_baseline. '
+            'Re-measure with scripts/measure_tf_baseline.py.')
+
+
 def main():
+    baseline = read_baseline()   # fail fast, before minutes of benchmarking
     from transformertts_tpu.utils.scripts_utils import enable_compilation_cache
     enable_compilation_cache()
     import jax
@@ -90,14 +99,6 @@ def main():
 
     frames = batch * n_frames * iters
     fps = frames / dt
-
-    baseline_path = Path(__file__).parent / 'BENCH_BASELINE.json'
-    baseline = DEFAULT_BASELINE_FPS
-    if baseline_path.exists():
-        try:
-            baseline = float(json.loads(baseline_path.read_text())['fps'])
-        except Exception:
-            pass
 
     print(json.dumps({
         'metric': 'batched forward TTS synthesis throughput',
