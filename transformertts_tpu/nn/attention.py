@@ -6,11 +6,21 @@ dense — instead of the usual attention-only projection. This is
 checkpoint-shape critical, so it is preserved here.
 
 The jnp softmax path also returns attention weights (needed by the Aligner
-teacher, diagonal-forcing losses and TensorBoard diagnostics). At this
-model's scale (2 heads, T <= ~1000) attention is a small slice of step time
-— the device profile shows conv fusions dominating — so the Pallas
-flash-attention kernel (ops/flash_attention.py) is kept as reference code
-with its own tests but is deliberately NOT wired into the model.
+teacher, diagonal-forcing losses and TensorBoard diagnostics).
+
+Training-path layout: the step is HBM-bound (BASELINE.md roofline), so the
+dropout-active attention under *bfloat16 compute* is wrapped in
+``jax.checkpoint`` — backward recomputes QK^T, the f32 softmax and the
+dropout mask (same rng -> identical mask) instead of storing the
+(B,H,Tq,Tk) weights and their dropped product between forward and backward.
+Measured on the real chip (scripts/bench_remat_train_step.py +
+scripts/ab_remat_landed.py, BASELINE.md remat/flash A/B): -2.0 ms/step at
+the bf16 TTS B16x896f bucket; the float32 Aligner REGRESSES by +11.4 ms
+under remat (f32 matmuls run at Precision.HIGHEST, so the recompute is
+multi-pass-expensive) — hence the dtype gate. The Pallas flash-attention
+kernel (ops/flash_attention.py) measured SLOWER than this jnp path at every
+bucket once compared against its fair dropout-free control, so it remains
+tested reference code, not the production path.
 """
 from typing import Optional, Tuple
 
@@ -31,7 +41,31 @@ def scaled_dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     """q,k,v: (B, H, T, D). mask broadcastable to (B, H, Tq, Tk), 1 = masked.
 
     Returns (output (B,H,Tq,D), weights (B,H,Tq,Tk)). Softmax in float32.
+    The dropout-active (training) path is rematerialized — see module
+    docstring; numerics are identical to the plain path (same rng stream).
     """
+    # Remat only pays when recompute is cheap relative to the saved traffic:
+    # bf16 matmuls are single-pass MXU ops, but float32 runs at
+    # Precision.HIGHEST (multi-pass emulation — see core.matmul_precision),
+    # where recomputing QK^T costs more than the stored weights. Measured
+    # (scripts/ab_remat_landed.py): bf16 TTS −2.0 ms/step at B16x896f;
+    # f32 Aligner +11.4 ms/step if remat is forced on.
+    if (deterministic or dropout_rate == 0.0 or rng is None
+            or q.dtype != jnp.bfloat16):
+        return _sdpa(q, k, v, mask, dropout_rate, rng, deterministic)
+    if mask is None:
+        mask = jnp.zeros((1, 1, 1, 1), jnp.float32)
+    fn = jax.checkpoint(
+        lambda q_, k_, v_, m_, r_: _sdpa(q_, k_, v_, m_, dropout_rate, r_,
+                                         False),
+        policy=jax.checkpoint_policies.nothing_saveable)
+    return fn(q, k, v, mask, rng)
+
+
+def _sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
+          mask: Optional[jax.Array], dropout_rate: float,
+          rng: Optional[jax.Array], deterministic: bool
+          ) -> Tuple[jax.Array, jax.Array]:
     dk = q.shape[-1]
     logits = jnp.einsum('bhqd,bhkd->bhqk', q, k,
                         precision=core.matmul_precision(q.dtype))
