@@ -156,3 +156,100 @@ def test_predict_with_mixed_head_counts():
         full = m.apply(m.params, tokens, tar, 1, deterministic=True)
         np.testing.assert_allclose(np.asarray(full['mel'])[0], out['mel'],
                                    atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# gradient accumulation (mirrors tests/test_training.py for ForwardTrainer)
+# ---------------------------------------------------------------------------
+
+def _dropout_free_aligner():
+    m = Aligner(
+        encoder_model_dimension=32, decoder_model_dimension=32,
+        encoder_num_heads=[2], decoder_num_heads=[2],
+        encoder_max_position_encoding=200, decoder_max_position_encoding=600,
+        encoder_prenet_dimension=32, decoder_prenet_dimension=32,
+        dropout_rate=0.0, mel_start_value=0.5, mel_end_value=-0.5,
+        mel_channels=MEL, phoneme_language='en-us', with_stress=False,
+        decoder_prenet_dropout=0.0, model_breathing=True,
+        encoder_feed_forward_dimension=64, decoder_feed_forward_dimension=64,
+        max_r=10)
+    return m
+
+
+def _uniform_batch(model, b=8, n_tok=12, n_frames=40, seed=5):
+    """Every sample has the SAME valid token/frame count, so micro-batch
+    loss means equal the full-batch loss and gradients match exactly."""
+    rng = np.random.default_rng(seed)
+    tokens = np.zeros((b, n_tok), np.int32)
+    tokens[:, :10] = rng.integers(1, model.text_pipeline.tokenizer.vocab_size,
+                                  size=(b, 10))
+    t = n_frames - 2
+    mel = np.zeros((b, n_frames, MEL), np.float32)
+    stop = np.zeros((b, n_frames), np.int32)
+    mel[:, 0] = 0.5
+    mel[:, 1:t + 1] = rng.standard_normal((b, t, MEL)).astype(np.float32)
+    mel[:, t + 1] = -0.5
+    stop[:, :t + 1] = 1
+    stop[:, t + 1] = 2
+    return {'tokens': tokens, 'mel': mel, 'stop_probs': stop}
+
+
+def test_aligner_grad_accumulation_matches_single_batch():
+    import optax
+    model = _dropout_free_aligner()
+    mesh = make_mesh(MeshConfig(data=1, model=1),
+                     devices=jax.devices('cpu')[:1])
+    params = model.init_params(jax.random.PRNGKey(11))
+    batch = _uniform_batch(model)
+
+    def run(n):
+        # SGD so gradient equality shows up as param equality (Adam's first
+        # step amplifies reassociation noise; see the ForwardTrainer test)
+        trainer = AlignerTrainer(model, optax.sgd(1e-2), mesh=mesh,
+                                 grad_accumulation=n)
+        state = trainer.init_state(params=jax.tree_util.tree_map(
+            lambda x: x.copy(), params))
+        s, aux = trainer.train_step(state, batch, r=2,
+                                    force_encoder_diagonal=True,
+                                    force_decoder_diagonal=True)
+        return s, aux
+
+    s1, aux1 = run(1)
+    s2, aux2 = run(4)
+    np.testing.assert_allclose(float(aux1['loss']), float(aux2['loss']),
+                               rtol=2e-4)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(l1, l2):
+        a, b = np.asarray(a), np.asarray(b)
+        gscale = max(float(np.max(np.abs(a))), 1e-6)
+        assert float(np.max(np.abs(a - b))) < 1e-3 * gscale
+
+
+def test_aligner_grad_accumulation_with_attention_aux():
+    """return_attention restacks the per-layer maps to full-batch leading
+    dim through the scan."""
+    import optax
+    model = _dropout_free_aligner()
+    mesh = make_mesh(MeshConfig(data=2, model=1),
+                     devices=jax.devices('cpu')[:2])
+    trainer = AlignerTrainer(model, optax.sgd(1e-2), mesh=mesh,
+                             grad_accumulation=2)
+    state = trainer.init_state(jax.random.PRNGKey(1))
+    batch = _uniform_batch(model, b=8)
+    s, aux = trainer.train_step(state, batch, r=2, return_attention=True)
+    assert np.isfinite(float(aux['loss']))
+    for att in aux['decoder_attention'].values():
+        assert att.shape[0] == 8
+
+
+def test_aligner_grad_accumulation_rejects_indivisible_batch():
+    import optax
+    model = _dropout_free_aligner()
+    mesh = make_mesh(MeshConfig(data=1, model=1),
+                     devices=jax.devices('cpu')[:1])
+    trainer = AlignerTrainer(model, optax.sgd(1e-2), mesh=mesh,
+                             grad_accumulation=3)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match='divisible'):
+        trainer.train_step(state, _uniform_batch(model, b=8), r=2)

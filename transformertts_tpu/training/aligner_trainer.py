@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh
 
-from transformertts_tpu.training.base_trainer import BaseTrainer
+from transformertts_tpu.training.base_trainer import (
+    BaseTrainer, accumulate_grads, restack_accumulated_aux)
 from transformertts_tpu.training.state import TrainState
 from transformertts_tpu.utils.losses import (masked_mean_absolute_error,
                                              new_scaled_crossentropy,
@@ -89,25 +90,25 @@ class AlignerTrainer(BaseTrainer):
 
     def __init__(self, model, tx: optax.GradientTransformation,
                  mesh: Optional[Mesh] = None, stop_scaling: float = 8.0,
-                 base_rng_seed: int = 42):
+                 base_rng_seed: int = 42, grad_accumulation: int = 1):
         super().__init__(model, tx, mesh=mesh, base_rng_seed=base_rng_seed)
         self.stop_loss = new_scaled_crossentropy(index=2, scaling=stop_scaling)
+        # N > 1: scan fwd+bwd over N micro-batches, one Adam update on the
+        # mean gradient (same semantics as ForwardTrainer — the aligner
+        # trains the same 896-frame buckets at r=1 where HBM capacity, not
+        # compute, limits the batch). The r / diag-forcing static args apply
+        # uniformly to every micro-batch of a step.
+        self.grad_accumulation = int(grad_accumulation)
 
     # ------------------------------------------------------------------ steps
 
-    def _train_step_impl(self, state: TrainState, batch: dict, r: int,
-                         force_enc: bool, force_dec: bool,
-                         return_attention: bool):
-        rng = jax.random.fold_in(self.base_rng, state.step)
+    def _loss_and_grads(self, params, batch: dict, rng, r: int,
+                        force_enc: bool, force_dec: bool,
+                        return_attention: bool):
         (_, (losses, out)), grads = jax.value_and_grad(
             lambda p: aligner_loss(self.model, p, batch, r, self.stop_loss,
                                    force_enc, force_dec, rng,
-                                   deterministic=False), has_aux=True)(
-            state.params)
-        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(step=state.step + 1, params=params,
-                               opt_state=opt_state)
+                                   deterministic=False), has_aux=True)(params)
         aux = dict(losses)
         if return_attention:
             # attention maps are (B, H, T, T) per layer — hundreds of MB of
@@ -116,6 +117,29 @@ class AlignerTrainer(BaseTrainer):
             aux['encoder_attention'] = out['encoder_attention']
             aux['text_mask'] = out['text_mask']
             aux['mel_mask'] = out['mel_mask']
+        return grads, aux
+
+    def _train_step_impl(self, state: TrainState, batch: dict, r: int,
+                         force_enc: bool, force_dec: bool,
+                         return_attention: bool):
+        rng = jax.random.fold_in(self.base_rng, state.step)
+        n = self.grad_accumulation
+
+        def lag(params, mb, mb_rng):
+            return self._loss_and_grads(params, mb, mb_rng, r,
+                                        force_enc, force_dec,
+                                        return_attention)
+
+        if n <= 1:
+            grads, aux = lag(state.params, batch, rng)
+        else:
+            grads, aux_st, b = accumulate_grads(
+                lag, state.params, batch, rng, n)
+            aux = restack_accumulated_aux(aux_st, b)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state)
         return new_state, aux
 
     def _val_step_impl(self, state: TrainState, batch: dict, r: int,

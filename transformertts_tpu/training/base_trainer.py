@@ -6,11 +6,54 @@ argument positions.
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from transformertts_tpu.parallel import mesh as mesh_lib
 from transformertts_tpu.training.state import TrainState, init_state
+
+
+def accumulate_grads(loss_and_grads, params, batch: dict, rng, n: int):
+    """Split ``batch`` into ``n`` micro-batches, ``lax.scan`` fwd+bwd over
+    them, and return (mean grads, stacked aux, full batch size).
+
+    ``loss_and_grads(params, micro_batch, rng) -> (grads, aux)`` is the
+    per-micro-batch body; the returned aux pytree leaves are stacked with a
+    leading micro-step axis of length ``n`` (scalars become shape ``(n,)``,
+    per-sample arrays ``(n, b/n, ...)``) — callers restack with
+    :func:`restack_accumulated_aux`. Loss semantics are the standard
+    grad-accumulation ones: the gradient is the mean of micro-batch
+    gradients, which equals the full-batch gradient when every micro-batch
+    has the same valid-element count (masked losses normalize per
+    micro-batch).
+    """
+    b = next(iter(batch.values())).shape[0]
+    if b % n != 0:
+        raise ValueError(
+            f'batch size {b} not divisible by grad_accumulation={n}')
+    micro = jax.tree_util.tree_map(
+        lambda x: x.reshape((n, b // n) + x.shape[1:]), batch)
+
+    def body(acc, xs):
+        i, mb = xs
+        g, aux = loss_and_grads(params, mb, jax.random.fold_in(rng, i))
+        acc = jax.tree_util.tree_map(jnp.add, acc, g)
+        return acc, aux
+
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    acc, aux_st = jax.lax.scan(body, zeros, (jnp.arange(n), micro))
+    grads = jax.tree_util.tree_map(lambda g: g / n, acc)
+    return grads, aux_st, b
+
+
+def restack_accumulated_aux(aux_st, b: int):
+    """Undo the scan stacking: scalar leaves (stacked to ``(n,)``) become
+    the mean over micro-steps; per-sample leaves ``(n, b/n, ...)`` are
+    reshaped back to full-batch leading dim ``(b, ...)``."""
+    return jax.tree_util.tree_map(
+        lambda v: jnp.mean(v, axis=0) if v.ndim == 1
+        else v.reshape((b,) + v.shape[2:]), aux_st)
 
 
 class BaseTrainer:

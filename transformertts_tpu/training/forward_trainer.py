@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh
 
-from transformertts_tpu.training.base_trainer import BaseTrainer
+from transformertts_tpu.training.base_trainer import (
+    BaseTrainer, accumulate_grads, restack_accumulated_aux)
 from transformertts_tpu.training.state import TrainState
 from transformertts_tpu.utils.losses import (masked_mean_absolute_error,
                                              weighted_sum_losses)
@@ -93,30 +94,9 @@ class ForwardTrainer(BaseTrainer):
         if n <= 1:
             grads, aux = self._loss_and_grads(state.params, batch, rng)
         else:
-            b = next(iter(batch.values())).shape[0]
-            if b % n != 0:
-                raise ValueError(
-                    f'batch size {b} not divisible by '
-                    f'grad_accumulation={n}')
-            micro = jax.tree_util.tree_map(
-                lambda x: x.reshape((n, b // n) + x.shape[1:]), batch)
-
-            def body(acc, xs):
-                i, mb = xs
-                g, aux = self._loss_and_grads(
-                    state.params, mb, jax.random.fold_in(rng, i))
-                acc = jax.tree_util.tree_map(jnp.add, acc, g)
-                return acc, aux
-
-            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-            acc, aux_st = jax.lax.scan(
-                body, zeros, (jnp.arange(n), micro))
-            grads = jax.tree_util.tree_map(lambda g: g / n, acc)
-            # scalars -> mean over micro-steps; per-sample arrays
-            # (duration_pred, attention) -> restack to full-batch leading dim
-            aux = {k: (jnp.mean(v, axis=0) if v.ndim == 1
-                       else v.reshape((b,) + v.shape[2:]))
-                   for k, v in aux_st.items()}
+            grads, aux_st, b = accumulate_grads(
+                self._loss_and_grads, state.params, batch, rng, n)
+            aux = restack_accumulated_aux(aux_st, b)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=params,

@@ -146,8 +146,9 @@ class TrainingConfigManager:
             mesh = self.get_mesh()
         if self.model_kind == 'aligner':
             from transformertts_tpu.training.aligner_trainer import AlignerTrainer
-            return AlignerTrainer(model, tx, mesh=mesh,
-                                  stop_scaling=self.stop_scaling)
+            return AlignerTrainer(
+                model, tx, mesh=mesh, stop_scaling=self.stop_scaling,
+                grad_accumulation=int(self.config.get('grad_accumulation', 1)))
         from transformertts_tpu.training.forward_trainer import ForwardTrainer
         return ForwardTrainer(
             model, tx, mesh=mesh,
