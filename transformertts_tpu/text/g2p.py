@@ -54,6 +54,16 @@ _LEXICON: Dict[str, str] = {
     'listen': 'lɪsən', 'half': 'hæf', 'talk': 'tɔːk', 'walk': 'wɔːk',
     'live': 'lɪv', 'lives': 'lɪvz', 'weren': 'wɜːn',
     'mr': 'mɪstɚ', 'mrs': 'mɪsɪz', 'dr': 'dɑːktɚ', 'st': 'seɪnt',
+    # hard-g before e/i (Germanic stock the soft-g rule would misread)
+    'get': 'ɡɛt', 'got': 'ɡɑːt', 'girl': 'ɡɜːl', 'gift': 'ɡɪft',
+    'begin': 'bɪɡɪn', 'together': 'təɡɛðɚ', 'forget': 'fɚɡɛt',
+    'give': 'ɡɪv', 'gave': 'ɡeɪv',
+    # frequent words whose vowels the rules miss
+    'measure': 'mɛʒɚ', 'pleasure': 'plɛʒɚ', 'treasure': 'tɹɛʒɚ',
+    'sure': 'ʃʊɹ', 'human': 'hjuːmən', 'music': 'mjuːzɪk',
+    'computer': 'kəmpjuːɾɚ', 'photo': 'foʊɾoʊ', 'good': 'ɡʊd',
+    'foot': 'fʊt', 'put': 'pʊt', 'push': 'pʊʃ', 'pull': 'pʊl',
+    'full': 'fʊl', 'move': 'muːv', 'prove': 'pɹuːv', 'above': 'ɐbʌv',
 }
 
 # ordered letter-to-sound rules: (pattern at current position, IPA, advance)
@@ -73,6 +83,8 @@ _RULES: List[Tuple[str, str]] = [
     ('tious', 'ʃəs'), ('cial', 'ʃəl'), ('tial', 'ʃəl'),
     ('air', 'ɛɹ'), ('are', 'ɛɹ'), ('ear', 'ɪɹ'), ('eer', 'ɪɹ'),
     ('oor', 'ɔːɹ'), ('ore', 'ɔːɹ'), ('our', 'aʊɚ'), ('ure', 'ʊɹ'),
+    ('ire', 'aɪɚ'), ('ere', 'ɪɹ'),
+    ('all', 'ɔːl'), ('alk', 'ɔːk'), ('ook', 'ʊk'),
     ('ai', 'eɪ'), ('ay', 'eɪ'), ('au', 'ɔː'), ('aw', 'ɔː'),
     ('ea', 'iː'), ('ee', 'iː'), ('ei', 'eɪ'), ('ey', 'eɪ'), ('eu', 'juː'),
     ('ew', 'uː'), ('ie', 'iː'), ('oa', 'oʊ'), ('oe', 'oʊ'), ('oi', 'ɔɪ'),
@@ -108,19 +120,27 @@ def _apply_rules(word: str) -> str:
     i = 0
     n = len(word)
     while i < n:
+        # multi-letter teams outrank the soft-c/g letter rules ('cial' in
+        # "special" must beat soft-c), single letters come after them
+        multi = next((r for r in _RULES
+                      if len(r[0]) > 1 and word.startswith(r[0], i)), None)
         # soft c / soft g before e, i, y
-        if word[i] == 'c' and i + 1 < n and word[i + 1] in 'eiy':
+        if multi is None and word[i] == 'c' and i + 1 < n and word[i + 1] in 'eiy':
             out.append('s')
             i += 1
             continue
-        if word[i] == 'g' and i + 1 < n and word[i + 1] in 'eiy' and not word.startswith('gg', i):
+        if multi is None and word[i] == 'g' and i + 1 < n and word[i + 1] in 'eiy' and not word.startswith('gg', i):
             out.append('dʒ')
             i += 1
             continue
-        # magic-e: vowel + consonant + final e → long vowel
-        if (i + 2 == n - 1 and word[i] in 'aeiou' and word[i + 1] not in 'aeiou'
+        # magic-e: vowel + consonant + final e → long vowel. NOT before r:
+        # 'are/ere/ire/ore/ure' are r-controlled (care, store), handled by
+        # the vowel-team rules below.
+        if (i + 2 == n - 1 and word[i] in 'aeiouy'
+                and word[i + 1] not in 'aeiour'
                 and word[n - 1] == 'e'):
-            long_map = {'a': 'eɪ', 'e': 'iː', 'i': 'aɪ', 'o': 'oʊ', 'u': 'juː'}
+            long_map = {'a': 'eɪ', 'e': 'iː', 'i': 'aɪ', 'o': 'oʊ',
+                        'u': 'juː', 'y': 'aɪ'}
             out.append(long_map[word[i]])
             i += 1
             continue
@@ -128,9 +148,17 @@ def _apply_rules(word: str) -> str:
         if i == n - 1 and word[i] == 'e' and n > 2:
             i += 1
             continue
-        # final y → i
+        # final consonant+'le' → əl (little, table; NOT style — vowel+le is
+        # magic-e territory handled above)
+        if (i + 2 == n and word[i] == 'l' and word[n - 1] == 'e' and n > 3
+                and word[i - 1] not in 'aeiouy'):
+            out.append('əl')
+            i = n
+            continue
+        # final y: aɪ in monosyllables (try, my, sky), i elsewhere (city)
         if i == n - 1 and word[i] == 'y' and n > 1:
-            out.append('i')
+            out.append('aɪ' if not any(c in 'aeiouy' for c in word[:i])
+                       else 'i')
             i += 1
             continue
         for pat, ipa in _RULES:
@@ -143,11 +171,32 @@ def _apply_rules(word: str) -> str:
     return ''.join(out)
 
 
+_UNSTRESSABLE = set('əɐɚᵻ')  # espeak never places primary stress on schwa
+
+
 def _add_stress(ipa: str) -> str:
+    first = None
     for k, ch in enumerate(ipa):
         if ch in _VOWEL_IPA:
-            return ipa[:k] + 'ˈ' + ipa[k:]
+            if first is None:
+                first = k
+            if ch not in _UNSTRESSABLE:
+                return ipa[:k] + 'ˈ' + ipa[k:]
+    if first is not None:  # all-schwa word: stress the first vowel anyway
+        return ipa[:first] + 'ˈ' + ipa[first:]
     return ipa
+
+
+def g2p_word_path(word: str) -> str:
+    """Which branch ``g2p_word`` takes: 'lexicon', 'lexicon_possessive' or
+    'rules'. Used by scripts/measure_g2p_fidelity.py to report how much of a
+    corpus is covered by the curated lexicon vs the letter-to-sound rules."""
+    word = word.lower()
+    if word in _LEXICON:
+        return 'lexicon'
+    if word.endswith("'s") and word[:-2] in _LEXICON:
+        return 'lexicon_possessive'
+    return 'rules'
 
 
 def g2p_word(word: str, with_stress: bool = True) -> str:
