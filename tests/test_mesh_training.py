@@ -234,3 +234,45 @@ def test_train_tts_cli_grad_accumulation(tmp_path_factory):
     assert restored is not None and int(restored.step) >= 2
     leaves = jax.tree_util.tree_leaves(restored.params)
     assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
+
+
+def test_zero1_specs_rule():
+    """zero1_specs upgrades only optimizer-moment leaves (paths crossing
+    .mu/.nu): first 'data'-divisible free axis gets the data name, TP
+    shardings are preserved on other axes, params/count/non-divisible
+    leaves stay untouched."""
+    import optax
+    from jax.sharding import PartitionSpec as P
+    from transformertts_tpu.parallel import mesh as mesh_lib
+    from transformertts_tpu.training.state import TrainState
+
+    mesh = mesh_lib.make_mesh(mesh_lib.MeshConfig(data=4, model=2))
+    params = {
+        'ffn': {'d1': {'kernel': np.zeros((64, 512)), 'bias': np.zeros(512)}},
+        'proj': {'kernel': np.zeros((3, 64, 128)), 'bias': np.zeros(64)},
+        'odd': {'kernel': np.zeros((3, 3))},  # nothing divides data=4
+    }
+    tx = optax.adam(1e-3)
+    state = TrainState(step=np.int32(0), params=params,
+                       opt_state=tx.init(params))
+    specs = mesh_lib.tp_param_specs(state, mesh)
+    specs = mesh_lib.zero1_specs(state, specs, mesh)
+
+    D, M = mesh_lib.DATA_AXIS, mesh_lib.MODEL_AXIS
+    # params untouched
+    assert specs.params['ffn']['d1']['kernel'] == P(None, M)
+    assert specs.params['proj']['kernel'] == P()
+    adam = specs.opt_state[0]
+    # moments: TP axis kept, first free divisible axis -> 'data'
+    assert adam.mu['ffn']['d1']['kernel'] == P(D, M)
+    # TP column bias is fully sharded over 'model' already: no free axis
+    assert adam.nu['ffn']['d1']['bias'] == P(M)
+    assert adam.mu['proj']['kernel'] == P(None, D, None)
+    assert adam.mu['proj']['bias'] == P(D)
+    assert adam.mu['odd']['kernel'] == P()
+    assert adam.count == P()
+    # 1-device data axis: inert
+    mesh1 = mesh_lib.make_mesh(mesh_lib.MeshConfig(data=1, model=1),
+                               devices=jax.devices()[:1])
+    specs1 = mesh_lib.tp_param_specs(state, mesh1)
+    assert mesh_lib.zero1_specs(state, specs1, mesh1) is specs1

@@ -227,3 +227,60 @@ def test_grad_accumulation_over_mesh():
     state = trainer.init_state(jax.random.PRNGKey(0))
     s, aux = trainer.train_step(state, _uniform_batch(model, b=8))
     assert np.isfinite(float(aux['loss']))
+
+
+def test_zero1_moment_sharding_matches_replicated():
+    """ZeRO-1 (Adam m/v sharded over 'data', BaseTrainer.state_shardings)
+    is a pure layout change: a train step over a DP mesh must produce the
+    same params and moments as the replicated layout, up to float
+    reassociation noise from the re-ordered reductions."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from transformertts_tpu.parallel import mesh as mesh_lib
+
+    model = _dropout_free_model()
+    mesh = make_mesh(MeshConfig(data=4, model=1),
+                     devices=jax.devices('cpu')[:4])
+    params = model.init_params(jax.random.PRNGKey(7))
+    batch = _uniform_batch(model)
+
+    class ReplicatedTrainer(ForwardTrainer):
+        def state_shardings(self, state):
+            specs = mesh_lib.tp_param_specs(state, self.mesh)  # no zero1
+            return jax.tree_util.tree_map(
+                lambda sp: NamedSharding(self.mesh, sp), specs,
+                is_leaf=lambda x: isinstance(x, P))
+
+    def run(cls):
+        tx = make_optimizer([(0, 1e-3), (100, 1e-3)])
+        trainer = cls(model, tx, mesh=mesh)
+        state = trainer.init_state(params=jax.tree_util.tree_map(
+            lambda x: x.copy(), params))
+        for seed in range(3):
+            state, aux = trainer.train_step(
+                state, _uniform_batch(model, seed=seed))
+        return trainer, state, aux
+
+    tz, sz, auxz = run(ForwardTrainer)
+    tr, sr, auxr = run(ReplicatedTrainer)
+
+    # the ZeRO layout actually shards the moments (and only the moments)
+    mom_specs = {str(s.spec) for s in jax.tree_util.tree_leaves(
+        tz.state_shardings(sz).opt_state,
+        is_leaf=lambda x: hasattr(x, 'spec'))}
+    assert any('data' in s for s in mom_specs), mom_specs
+    par_specs = {str(s.spec) for s in jax.tree_util.tree_leaves(
+        tz.state_shardings(sz).params,
+        is_leaf=lambda x: hasattr(x, 'spec'))}
+    assert not any('data' in s for s in par_specs), par_specs
+
+    np.testing.assert_allclose(float(auxz['loss']), float(auxr['loss']),
+                               rtol=1e-5)
+    dz = jax.tree_util.tree_map(lambda n, o: np.asarray(n) - np.asarray(o),
+                                sz.params, params)
+    gscale = max(float(np.max(np.abs(x)))
+                 for x in jax.tree_util.tree_leaves(dz))
+    assert gscale > 0
+    for a, b in zip(jax.tree_util.tree_leaves(sz.params),
+                    jax.tree_util.tree_leaves(sr.params)):
+        assert float(np.max(np.abs(np.asarray(a) - np.asarray(b)))) \
+            < 1e-3 * gscale

@@ -179,6 +179,48 @@ def tp_param_specs(params, mesh: Mesh,
     return jax.tree_util.tree_map_with_path(leaf_spec, params)
 
 
+def zero1_specs(state, specs, mesh: Mesh, moment_names=('mu', 'nu')):
+    """ZeRO-1: upgrade optimizer-moment PartitionSpecs to shard over 'data'.
+
+    The Adam update reads+writes f32 m/v/p for every parameter — 1.47 GB of
+    HBM traffic per step at the published TTS scale (BASELINE.md roofline),
+    fully replicated across data-parallel devices. Sharding the *moments*
+    over the 'data' axis makes each device update 1/N of them (XLA turns the
+    gradient all-reduce into reduce-scatter + all-gather of the parameter
+    updates — ICI traffic, not HBM), the standard ZeRO-1 layout expressed
+    purely as sharding annotations. Semantics are bit-identical to the
+    replicated layout (tests/test_parallel.py).
+
+    ``state``/``specs`` are matching pytrees (a TrainState and its
+    PartitionSpec tree). Only leaves whose path crosses an attribute named in
+    ``moment_names`` (optax's ScaleByAdamState fields) are touched: the FIRST
+    axis that (a) is not already sharded by a TP rule and (b) divides the
+    data-axis size gets the 'data' name; non-divisible leaves stay as given
+    (they are the small ones). Parameters themselves stay replicated — at
+    this model family's sizes the fwd/bwd wants zero extra collectives.
+    """
+    data = mesh.shape[DATA_AXIS]
+    if data <= 1:
+        return specs
+
+    def upgrade(path, leaf, spec):
+        names = {str(getattr(p, 'name', '')) for p in path}
+        if not names & set(moment_names):
+            return spec
+        shape = getattr(leaf, 'shape', ())
+        if not shape:
+            return spec
+        parts = list(spec) + [None] * (len(shape) - len(spec))
+        for i, dim in enumerate(shape):
+            if parts[i] is None and dim % data == 0 and dim >= data:
+                parts[i] = DATA_AXIS
+                return P(*parts)
+        return spec
+
+    return jax.tree_util.tree_map_with_path(
+        upgrade, state, specs, is_leaf=lambda x: isinstance(x, P))
+
+
 def pad_batch_to_multiple(batch: dict, multiple: int) -> dict:
     """Pad the batch axis so it divides the 'data' axis size.
 
