@@ -73,9 +73,46 @@ def _sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
     logits = logits.astype(jnp.float32) / jnp.sqrt(jnp.float32(dk))
     if mask is not None:
         logits = logits + mask.astype(jnp.float32) * NEG_INF
+    if v.dtype == jnp.bfloat16:
+        # Store the attention weights bf16 at the fusion boundary: the
+        # (B,H,Tq,Tk) softmax output is the synthesis path's largest HBM
+        # tensor (302 MB f32 at B64xT768) and the PV matmul re-reads it
+        # memory-bound (profiled 72 TF/s, scripts/profile_synthesis.py).
+        # A plain ``softmax().astype(bf16)`` does NOT narrow the boundary —
+        # XLA sinks the convert into the consumer fusion and ships f32 —
+        # and pinning bf16(softmax) with a barrier forces XLA to
+        # materialize the f32 exp before the row-normalizing divide
+        # (measured +2.5 ms vs no change). Instead, softmax's linearity in
+        # the matmul is used: (w/denom)@V == (w@V)/denom. The producer
+        # fusion writes ONE bf16 rounding of the unnormalized exp (pinned
+        # by the barrier) plus the tiny exact-f32 denominator; the divide
+        # moves off the (Tq,Tk) tensor onto the (Tq,D) output, applied to
+        # the f32 MXU accumulation and cast once. Dropout commutes (it is
+        # an elementwise mask-and-scale), so the training path applies it
+        # to the numerator — same rng, same mask, mathematically identical.
+        # Full-precision normalized weights are still returned for
+        # diagnostics/teacher use (DCE'd when unused, e.g. all of
+        # synthesis). Measured (real v5e, bench.py B64x128t->768f):
+        # 26.3 -> 23.8 ms/dispatch, 1.877M -> 2.065M frames/s (+10%);
+        # bf16-vs-f32 mel MAE 0.0128 -> 0.0159 (2.7% -> 3.3% of mel std —
+        # partly duration-jitter chaos, see BASELINE.md synthesis roofline).
+        # Rejected variants (measured): barrier(bf16(softmax)) 28.8 ms;
+        # exp(logits-lse) with barrier 25.4 ms AND worse MAE 0.0183.
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        unnorm = jnp.exp(logits - m)
+        denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+        weights = unnorm / denom
+        unnorm_b, denom_b = jax.lax.optimization_barrier(
+            (unnorm.astype(v.dtype), denom))
+        numer_used = core.dropout(unnorm_b, dropout_rate, rng, deterministic)
+        out_unnorm = jnp.einsum('bhqk,bhkd->bhqd', numer_used, v,
+                                precision=core.matmul_precision(v.dtype),
+                                preferred_element_type=jnp.float32)
+        out = (out_unnorm / denom_b).astype(v.dtype)
+        return out, weights
     weights = jax.nn.softmax(logits, axis=-1)
     weights_used = core.dropout(weights, dropout_rate, rng, deterministic)
-    out = jnp.einsum('bhqk,bhkd->bhqd', weights_used.astype(v.dtype), v,
+    out = jnp.einsum('bhqk,bhkd->bhqd', weights_used, v,
                      precision=core.matmul_precision(v.dtype))
     return out, weights
 
