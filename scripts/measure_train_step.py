@@ -19,12 +19,13 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 
-def build_aligner():
+def build_aligner(compute_dtype: str = 'float32'):
     """Published-scale Aligner (config/training_config.yaml aligner_settings)."""
     from transformertts_tpu.models.aligner import Aligner
     from transformertts_tpu.training import AlignerTrainer, make_optimizer
     import jax
     model = Aligner(
+        compute_dtype=compute_dtype,
         encoder_model_dimension=256, decoder_model_dimension=256,
         encoder_num_heads=[4, 4, 4, 4], decoder_num_heads=[4, 4, 4, 4, 1],
         encoder_feed_forward_dimension=512, decoder_feed_forward_dimension=512,
@@ -86,6 +87,11 @@ def main():
     ap.add_argument('--model', choices=['tts', 'aligner'], default='tts')
     ap.add_argument('--r', type=int, default=1,
                     help='aligner reduction factor (static jit arg)')
+    ap.add_argument('--dtype', choices=['float32', 'bfloat16'],
+                    default='float32',
+                    help='aligner only: compute dtype (the TTS build is '
+                         'always bf16; the aligner default is f32 — its '
+                         'attention maps feed duration extraction)')
     ap.add_argument('--grad_accumulation', type=int, default=1,
                     help='tts only: micro-batches per optimizer step; the '
                          'printed per-step time covers ALL N micro-batches')
@@ -150,7 +156,7 @@ def main():
 
 def main_aligner(args):
     import jax
-    model, trainer, state = build_aligner()
+    model, trainer, state = build_aligner(compute_dtype=args.dtype)
     rng = np.random.default_rng(0)
     vocab = model.text_pipeline.tokenizer.vocab_size
     buckets = [(256, 64, 48), (512, 32, 96), (896, 16, 160)]

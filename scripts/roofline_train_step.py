@@ -38,6 +38,8 @@ def main():
     ap.add_argument('--iters', type=int, default=20)
     ap.add_argument('--model', choices=['tts', 'aligner'], default='tts')
     ap.add_argument('--r', type=int, default=1)
+    ap.add_argument('--dtype', choices=['float32', 'bfloat16'],
+                    default='float32', help='aligner only: compute dtype')
     ap.add_argument('--bucket', type=int, default=None)
     ap.add_argument('--peak_tflops', type=float, default=197.0)
     ap.add_argument('--peak_gbps', type=float, default=819.0)
@@ -50,7 +52,7 @@ def main():
 
     rng = np.random.default_rng(0)
     if args.model == 'aligner':
-        model, trainer, state = build_aligner()
+        model, trainer, state = build_aligner(compute_dtype=args.dtype)
     else:
         model, trainer, state = build()
     n_params = sum(int(np.prod(x.shape))

@@ -83,7 +83,8 @@ def forward_convergence(steps=700, report_every=100):
     return model, state, samples
 
 
-def aligner_convergence(steps=2500, report_every=500):
+def aligner_convergence(steps=2500, report_every=500,
+                        compute_dtype='float32', return_artifacts=False):
     import jax
     from transformertts_tpu.models.aligner import Aligner
     from transformertts_tpu.ops.duration_extraction import (
@@ -99,6 +100,7 @@ def aligner_convergence(steps=2500, report_every=500):
     B = 16
 
     model = Aligner(
+        compute_dtype=compute_dtype,
         encoder_model_dimension=48, decoder_model_dimension=48,
         encoder_num_heads=[2], decoder_num_heads=[2, 2],
         encoder_max_position_encoding=128, decoder_max_position_encoding=256,
@@ -160,6 +162,10 @@ def aligner_convergence(steps=2500, report_every=500):
     print(f'extracted-duration MAE vs ground truth: {mean_err:.2f} frames '
           f'(mean true duration {np.mean([s[1].mean() for s in samples]):.2f})')
     assert mean_err < 1.5, 'extracted durations too far from ground truth'
+    if return_artifacts:
+        return {'duration_mae': mean_err, 'final_loss': float(aux['loss']),
+                'model': model, 'state': state, 'samples': samples,
+                'batch_of': batch_of, 'durations': durations}
     return mean_err
 
 

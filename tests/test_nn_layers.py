@@ -211,3 +211,35 @@ def test_remat_gate_off_for_f32_and_inference():
             a, a, a, None, 0.1, jax.random.key(0, impl='rbg'),
             deterministic=False)[0])(qb)
     assert 'remat' in str(jaxpr_bf16), 'bf16 training path must rematerialize'
+
+
+def test_bf16_numerator_boundary_matches_f32_softmax():
+    """The bf16 path stores the UNNORMALIZED softmax numerator bf16 at the
+    fusion boundary and folds the exact f32 denominator into the PV output
+    ((w/denom)@V == (w@V)/denom, see _sdpa). Output must match a plain
+    f32-softmax reference to bf16 resolution, and the returned normalized
+    weights must be the exact f32 softmax (diagnostics/teacher contract)."""
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(kq, (2, 2, 24, 16), jnp.bfloat16)
+    k = jax.random.normal(kk, (2, 2, 24, 16), jnp.bfloat16)
+    v = jax.random.normal(kv, (2, 2, 24, 16), jnp.bfloat16)
+    mask = jnp.zeros((2, 1, 1, 24), jnp.float32).at[:, :, :, 20:].set(1.0)
+
+    out, weights = attention._sdpa(q, k, v, mask, 0.0, None,
+                                   deterministic=True)
+    logits = jnp.einsum('bhqd,bhkd->bhqk',
+                        q.astype(jnp.float32), k.astype(jnp.float32))
+    logits = logits / jnp.sqrt(16.0) + mask * attention.NEG_INF
+    w_ref = jax.nn.softmax(logits, axis=-1)
+    out_ref = jnp.einsum('bhqk,bhkd->bhqd', w_ref, v.astype(jnp.float32))
+
+    assert out.dtype == jnp.bfloat16
+    assert weights.dtype == jnp.float32
+    # weights: exact f32 softmax (bf16 only enters via the QK^T matmul)
+    np.testing.assert_allclose(np.asarray(weights), np.asarray(w_ref),
+                               rtol=2e-2, atol=2e-3)
+    # masked columns carry no weight
+    assert float(jnp.max(weights[..., 20:])) < 1e-6
+    # output: one bf16 rounding of the numerator ~ bf16 resolution
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(out_ref), rtol=0.05, atol=0.02)
