@@ -253,3 +253,37 @@ def test_aligner_grad_accumulation_rejects_indivisible_batch():
     state = trainer.init_state(jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match='divisible'):
         trainer.train_step(state, _uniform_batch(model, b=8), r=2)
+
+
+def test_bf16_aligner_trains_and_keeps_f32_attention_maps():
+    """compute_dtype='bfloat16' is a measured training option (1.6-2.1x
+    step speedup, BASELINE.md). Contract: the step runs and the attention
+    maps handed to duration extraction stay float32 (exact f32 softmax —
+    bf16 enters only through the QK^T matmul; see nn/attention._sdpa)."""
+    m = Aligner(
+        encoder_model_dimension=32, decoder_model_dimension=32,
+        encoder_num_heads=[2, 2], decoder_num_heads=[2, 2],
+        encoder_max_position_encoding=200,
+        decoder_max_position_encoding=600,
+        encoder_prenet_dimension=32, decoder_prenet_dimension=32,
+        dropout_rate=0.1, mel_start_value=0.5, mel_end_value=-0.5,
+        mel_channels=MEL, phoneme_language='en-us', with_stress=False,
+        decoder_prenet_dropout=0.1, model_breathing=True,
+        encoder_feed_forward_dimension=64, decoder_feed_forward_dimension=64,
+        max_r=10, compute_dtype='bfloat16')
+    m.init_params(jax.random.PRNGKey(0))
+    trainer = AlignerTrainer(m, make_optimizer([(0, 1e-4), (100.0, 1e-4)]))
+    state = trainer.init_state(params=m.params)
+    batch = _fake_batch(m)
+    state, aux = trainer.train_step(state, batch, r=2)
+    assert np.isfinite(float(aux['loss']))
+    # master params stay f32 (bf16 is a compute dtype, not a storage dtype)
+    assert all(x.dtype == np.float32
+               for x in jax.tree_util.tree_leaves(state.params)
+               if np.issubdtype(x.dtype, np.floating))
+    val = trainer.val_step(state, batch, r=2)
+    attn = val['decoder_attention']['Decoder_LastBlock_CrossAttention']
+    assert attn.dtype == np.float32  # duration-extraction input contract
+    # rows over real frames sum to 1 (normalized f32 softmax)
+    row = np.asarray(attn)[0, :, 1, :].sum(-1)
+    np.testing.assert_allclose(row, 1.0, rtol=1e-5)
