@@ -243,3 +243,32 @@ def test_bf16_numerator_boundary_matches_f32_softmax():
     # output: one bf16 rounding of the numerator ~ bf16 resolution
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(out_ref), rtol=0.05, atol=0.02)
+
+
+def test_dropout_u16_semantics():
+    """core.dropout draws 16 random bits per element (HBM traffic halved vs
+    bernoulli's u32 path in the memory-bound train step). Pin the contract:
+    drop fraction ~= rate (quantized to 1/65536), kept values scaled by the
+    EXACT 1/(1-rate), identity when deterministic/rate==0, same key -> same
+    mask, dtype preserved."""
+    key = jax.random.PRNGKey(3)
+    x = jnp.ones((512, 512), jnp.float32)
+    for rate in (0.1, 0.5, 0.9):
+        y = core.dropout(x, rate, key, deterministic=False)
+        drop_frac = float((y == 0).mean())
+        # binomial std at n=512*512 is ~1e-3; allow 5 sigma
+        assert abs(drop_frac - rate) < 5e-3, (rate, drop_frac)
+        kept = np.asarray(y)[np.asarray(y) != 0]
+        np.testing.assert_allclose(kept, 1.0 / (1.0 - rate), rtol=1e-6)
+    xr = jax.random.normal(key, (64, 64))
+    assert (core.dropout(xr, 0.5, key, True) == xr).all()
+    assert (core.dropout(xr, 0.0, key, False) == xr).all()
+    a = core.dropout(xr, 0.3, key, False)
+    b = core.dropout(xr, 0.3, key, False)
+    assert (a == b).all()
+    xb = xr.astype(jnp.bfloat16)
+    assert core.dropout(xb, 0.3, key, False).dtype == jnp.bfloat16
+    # rates below the u16 quantum round to the identity, not to an
+    # accidental all-keep mask with a wrong scale
+    tiny = core.dropout(xr, 1e-6, key, False)
+    assert (tiny == xr).all()

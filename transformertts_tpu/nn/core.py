@@ -58,11 +58,30 @@ def _activation(name: Optional[str]):
 
 
 def dropout(x: jax.Array, rate: float, rng: Optional[jax.Array], deterministic: bool) -> jax.Array:
-    """Inverted dropout; identity when deterministic or rate == 0."""
+    """Inverted dropout; identity when deterministic or rate == 0.
+
+    The mask draws 16 random bits per element (``jax.random.bits`` uint16)
+    instead of ``bernoulli``'s 32 (u32 bits -> f32 uniform -> compare):
+    RngBitGenerator cannot fuse, so its output is real HBM traffic, and the
+    training step is memory-bound — at B16x896f each (B,H,T,T)
+    attention-weight mask costs 103 MB of u32 bits per generation (and the
+    rematted backward generates twice). u16 halves that for a drop
+    probability quantized to round(rate*2^16)/2^16 — off by at most 2^-17
+    absolute, far below any measurable training effect (the keep-scale
+    still uses the exact rate). Mask STREAM changes vs bernoulli (same
+    class of change as round 3's threefry->rbg move); determinism per
+    (seed, step) is unchanged.
+    """
     if deterministic or rate == 0.0:
         return x
     keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, p=keep, shape=x.shape)
+    # static threshold; clamp keeps a pathological rate=1.0 from wrapping
+    # uint16 to 0 (which would silently disable dropout entirely)
+    thresh = min(65535, int(round(rate * 65536.0)))
+    if thresh == 0:
+        return x
+    bits = jax.random.bits(rng, x.shape, jnp.uint16)
+    mask = bits >= jnp.uint16(thresh)
     return jnp.where(mask, x / keep, jnp.zeros_like(x)).astype(x.dtype)
 
 
