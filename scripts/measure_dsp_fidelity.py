@@ -17,6 +17,11 @@ measured numbers:
 (c) VAD: adaptive-energy trim vs known speech/silence annotations at
     several SNRs. Metrics: boundary error (ms), retained-speech fraction,
     long-silence removal.
+(d) VAD discrimination vs STRUCTURED noise (babble / music / keyboard
+    clicks filling the internal gap) — the case webrtcvad's trained GMM
+    handles by classification (reference data/audio.py:172-194) and an
+    energy gate handles by level. Metrics: per-sample speech lost and
+    fraction of the structured-noise gap removed, at several gap levels.
 
 Run: python scripts/measure_dsp_fidelity.py
 """
@@ -158,10 +163,90 @@ def measure_vad():
     return rows
 
 
+def _babble(n, rng):
+    """Many-talker babble: sum of 8 independent speech-like voices."""
+    seconds = n / SR
+    voices = [synth_speech(seconds, f0, seed=int(rng.integers(1 << 30)))[0][:n]
+              for f0 in (95, 120, 145, 170, 200, 230, 260, 300)]
+    y = np.sum(voices, axis=0)
+    return (y / (np.abs(y).max() + 1e-9)).astype(np.float32)
+
+
+def _music(n, rng):
+    """Sustained chord (A major + octave) with slow tremolo."""
+    t = np.arange(n) / SR
+    y = sum(np.sin(2 * np.pi * f * t + rng.uniform(0, 2 * np.pi))
+            for f in (220.0, 277.2, 329.6, 440.0))
+    y *= 0.8 + 0.2 * np.sin(2 * np.pi * 2.0 * t)
+    return (y / np.abs(y).max()).astype(np.float32)
+
+
+def _keyboard(n, rng):
+    """Sparse click train: ~12 clicks/s, 4 ms exponentially-decaying bursts."""
+    y = np.zeros(n, np.float32)
+    burst = (rng.standard_normal(int(0.004 * SR)).astype(np.float32)
+             * np.exp(-np.arange(int(0.004 * SR)) / (0.001 * SR)))
+    for pos in rng.integers(0, max(1, n - len(burst)), int(12 * n / SR)):
+        y[pos:pos + len(burst)] += burst
+    return (y / (np.abs(y).max() + 1e-9)).astype(np.float32)
+
+
+def measure_vad_discrimination():
+    """Speech | 1.2 s structured-noise gap | speech, gap level swept.
+
+    The reference's webrtcvad trims babble/music gaps by *classifying* them
+    as non-speech regardless of level; the adaptive energy gate trims them
+    only while their level sits >12 dB under the speech mode, and above that
+    falls back to the conservative gate (keeps the gap — a clip-length
+    regression vs webrtcvad, never a correctness one). Both outcomes are
+    measured per sample here; losing SPEECH is the only failure mode.
+    """
+    from transformertts_tpu.audio import vad
+    rng = np.random.default_rng(7)
+    sp1, _, _ = synth_speech(0.8, 140.0, seed=4)
+    sp2, _, _ = synth_speech(0.8, 200.0, seed=5)
+    gap_n = int(1.2 * SR)
+    makers = {'babble': _babble, 'music': _music, 'keyboard': _keyboard}
+    window_ms, ma_width, max_sil = 30, 8, 6
+    spw = (window_ms * SR) // 1000
+    rows = []
+    for name, make in makers.items():
+        for gap_db in (-30.0, -20.0, -10.0):
+            gap = make(gap_n, rng)
+            speech_rms = np.sqrt(np.mean(np.concatenate([sp1, sp2]) ** 2))
+            gap *= speech_rms / (np.sqrt(np.mean(gap ** 2)) + 1e-12) \
+                * 10 ** (gap_db / 20)
+            wav = np.concatenate([sp1, gap, sp2]).astype(np.float32)
+            is_speech = np.zeros(len(wav), bool)
+            is_speech[:len(sp1)] = True
+            is_speech[len(sp1) + gap_n:] = True
+            # Rebuild the sample mask with the documented NumPy chain so we
+            # can attribute kept/dropped samples (trim_long_silences only
+            # returns the trimmed wav).
+            usable = len(wav) - (len(wav) % spw)
+            flags = vad.detect_voice_flags(wav[:usable], SR, window_ms)
+            mask = np.round(
+                vad._moving_average(flags.astype(float), ma_width)).astype(bool)
+            mask = np.repeat(
+                vad._binary_dilation(mask, max_sil + 1), spw)
+            trimmed = vad.trim_long_silences(wav, SR, window_ms, ma_width,
+                                             max_sil)
+            assert len(trimmed) == int(mask.sum()), 'mask/impl drift'
+            is_speech = is_speech[:usable]
+            speech_lost = float((is_speech & ~mask).sum()) / SR
+            gap_mask = ~is_speech
+            gap_removed = float((gap_mask & ~mask).sum() / gap_mask.sum())
+            rows.append({'noise': name, 'gap_db_vs_speech': gap_db,
+                         'speech_lost_s': round(speech_lost, 3),
+                         'gap_removed_frac': round(gap_removed, 3)})
+    return rows
+
+
 def main():
     results = {'griffin_lim': measure_gl(),
                'pitch_yin_vs_truth': measure_pitch(),
-               'vad_energy_trim': measure_vad()}
+               'vad_energy_trim': measure_vad(),
+               'vad_structured_noise': measure_vad_discrimination()}
     print(json.dumps(results, indent=2))
 
 

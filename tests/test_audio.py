@@ -218,6 +218,33 @@ def test_vad_all_speech_clip_untouched():
     assert len(trimmed) >= 0.95 * (len(wav) - len(wav) % ((30 * sr) // 1000))
 
 
+def test_vad_structured_noise_gap():
+    """Discrimination vs structured (non-stationary) noise, the case the
+    reference's webrtcvad GMM handles by classification: a quiet babble gap
+    must still be trimmed by level, and — the only hard invariant — speech
+    must survive even when the gap noise is loud enough that the adaptive
+    gate falls back to keeping the gap (measured sweep:
+    scripts/measure_dsp_fidelity.py, vad_structured_noise)."""
+    from transformertts_tpu.audio import vad
+    sr = 22050
+    rng = np.random.default_rng(7)
+    t1 = np.arange(int(0.8 * sr)) / sr
+    speech1 = 0.5 * np.sin(2 * np.pi * 140 * t1) * (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t1))
+    speech2 = 0.5 * np.sin(2 * np.pi * 200 * t1) * (0.6 + 0.4 * np.sin(2 * np.pi * 4 * t1))
+    tg = np.arange(int(1.2 * sr)) / sr
+    babble = sum(np.sin(2 * np.pi * f0 * tg + rng.uniform(0, 2 * np.pi))
+                 * (0.6 + 0.4 * np.sin(2 * np.pi * rate * tg))
+                 for f0, rate in ((95, 2.1), (150, 3.3), (220, 1.7), (300, 2.9)))
+    babble /= np.abs(babble).max()
+    speech_rms = np.sqrt(np.mean(np.concatenate([speech1, speech2]) ** 2))
+    for gap_db, max_kept in ((-25.0, 2.0), (-6.0, np.inf)):
+        gap = babble * speech_rms / np.sqrt(np.mean(babble ** 2)) * 10 ** (gap_db / 20)
+        wav = np.concatenate([speech1, gap, speech2]).astype(np.float32)
+        kept_s = len(vad.trim_long_silences(wav, sr, 30, 8, 6)) / sr
+        assert kept_s >= 1.5, f'speech lost at gap {gap_db} dB ({kept_s:.2f}s kept)'
+        assert kept_s <= max_kept, f'quiet babble gap survived ({kept_s:.2f}s kept)'
+
+
 def test_griffin_lim_beats_prose_claim():
     """Measured GL fidelity guard: pinv + multiplicative-NNLS + zero-phase
     device GL must reconstruct a harmonic signal with spectral convergence
