@@ -111,14 +111,55 @@ def measure_gl():
 
 # ------------------------------------------------------------ (b) pitch
 
-def measure_pitch():
+def synth_natural_speech(seconds=2.0, f0_base=150.0, seed=0, unvoiced=()):
+    """Closer-to-natural voice than :func:`synth_speech`: per-cycle jitter
+    (random-walk ~0.6% f0 perturbation), shimmer (slow random amplitude
+    modulation), vocal-tract formant resonances (cascaded 2nd-order IIR at
+    700/1220/2600 Hz), and breathiness (envelope-modulated aspiration noise
+    at −22 dB). Ground truth stays exact — the instantaneous f0 track the
+    phase integrates. The reference extracts pitch with pyworld
+    DIO+StoneMask (data/audio.py:146-151); this measures our YIN under the
+    signal properties (noise floor, spectral tilt, aperiodicity) that
+    distinguish natural voices from clean harmonic stacks."""
+    from scipy.signal import lfilter
+    rng = np.random.default_rng(seed)
+    n = int(SR * seconds)
+    t = np.arange(n) / SR
+    jitter = np.cumsum(rng.standard_normal(n)) * 0.0002
+    jitter -= np.linspace(jitter[0], jitter[-1], n)        # detrended walk
+    f0 = f0_base * (1 + 0.12 * np.sin(2 * np.pi * 0.7 * t) + jitter)
+    phase = np.cumsum(2 * np.pi * f0 / SR)
+    # Spectrally-tilted harmonic source (−6 dB/oct glottal-ish rolloff)
+    y = sum((1.0 / k ** 1.5) * np.sin(k * phase) for k in range(1, 16))
+    for fc, bw in ((700.0, 130.0), (1220.0, 160.0), (2600.0, 250.0)):
+        r = np.exp(-np.pi * bw / SR)
+        theta = 2 * np.pi * fc / SR
+        y = lfilter([1 - r], [1, -2 * r * np.cos(theta), r * r], y)
+    shimmer = 1 + 0.15 * np.convolve(rng.standard_normal(n),
+                                     np.ones(2000) / 2000, mode='same')
+    env = (0.6 + 0.4 * np.sin(2 * np.pi * 1.1 * t + 0.7)) * shimmer
+    y *= env
+    breath = np.convolve(rng.standard_normal(n), [1, -0.9], mode='same')
+    y += 10 ** (-22 / 20) * np.sqrt(np.mean(y ** 2)) * breath * env
+    voiced = np.ones(n, bool)
+    for (a, b) in unvoiced:
+        m = (t >= a) & (t < b)
+        nse = np.convolve(rng.standard_normal(m.sum()), np.ones(8) / 8,
+                          mode='same')
+        y[m] = 0.3 * np.sqrt(np.mean(y ** 2)) / (np.std(nse) + 1e-12) * nse
+        voiced[m] = False
+    y = (y / np.abs(y).max()).astype(np.float32)
+    return y, f0, voiced
+
+
+def measure_pitch(synth=synth_speech):
     from transformertts_tpu.audio import Audio
     audio = Audio(sampling_rate=SR, n_fft=N_FFT, mel_channels=N_MELS,
                   hop_length=HOP, win_length=WIN, f_min=0, f_max=8000,
                   normalizer='MelGAN')
     rows = []
     for f0b, seed in ((120.0, 1), (180.0, 2), (240.0, 3)):
-        wav, f0_true, voiced = synth_speech(
+        wav, f0_true, voiced = synth(
             2.0, f0b, seed=seed, unvoiced=((0.6, 0.9), (1.5, 1.7)))
         est = np.asarray(audio.extract_pitch(wav))
         n = len(est)
@@ -245,6 +286,8 @@ def measure_vad_discrimination():
 def main():
     results = {'griffin_lim': measure_gl(),
                'pitch_yin_vs_truth': measure_pitch(),
+               'pitch_yin_vs_truth_natural_voice': measure_pitch(
+                   synth_natural_speech),
                'vad_energy_trim': measure_vad(),
                'vad_structured_noise': measure_vad_discrimination()}
     print(json.dumps(results, indent=2))

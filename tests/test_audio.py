@@ -136,6 +136,31 @@ def test_pitch_no_octave_error_on_harmonic_tone():
         assert np.median(cents) < 20, (f0t, np.median(cents))
 
 
+def test_pitch_on_naturalistic_voice():
+    """YIN accuracy bound under natural-voice signal properties (jitter,
+    shimmer, formant resonances, spectral tilt, breath noise) against exact
+    synthetic truth — measured 6.7-7.3 cents MAE across 120/180/240 Hz
+    (scripts/measure_dsp_fidelity.py, pitch_yin_vs_truth_natural_voice).
+    One base frequency here to keep the suite fast; bound is 2x the
+    measured value."""
+    import importlib.util
+    from pathlib import Path
+    spec = importlib.util.spec_from_file_location(
+        'measure_dsp_fidelity',
+        Path(__file__).parent.parent / 'scripts' / 'measure_dsp_fidelity.py')
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    wav, f0_true, voiced = m.synth_natural_speech(
+        1.2, 180.0, seed=2, unvoiced=((0.5, 0.7),))
+    est = pitch.extract_pitch_np(wav, m.SR, m.HOP)
+    centers = (np.arange(len(est)) * m.HOP + m.HOP // 2).clip(0, len(wav) - 1)
+    v_true, v_est = voiced[centers], est > 0
+    assert np.mean(v_est == v_true) > 0.9
+    both = v_est & v_true
+    cents = 1200 * np.abs(np.log2(est[both] / f0_true[centers][both]))
+    assert np.mean(cents) < 15, f'natural-voice MAE {np.mean(cents):.1f} cents'
+
+
 def test_vad_trims_silence():
     sr = 16000
     speech = _tone(freq=200, dur=0.5, sr=sr)
