@@ -73,7 +73,8 @@ def load_fixture():
 def fixture_agreement():
     pairs = load_fixture()
     sims, sims_ns, exact, exact_ns = [], [], 0, 0
-    by_path = {'lexicon': [], 'lexicon_possessive': [], 'rules': []}
+    by_path = {'lexicon': [], 'lexicon_possessive': [], 'cmudict': [],
+               'cmudict_inflected': [], 'rules': []}
     worst = []
     for word, ref_ipa in pairs:
         got = g2p.g2p_word(word, with_stress=True)
@@ -109,7 +110,8 @@ def corpus_rates(text_path: Path):
         if line.startswith('#'):
             continue
         words.extend(w.lower() for w in _WORD_RE.findall(line))
-    counts = {'lexicon': 0, 'lexicon_possessive': 0, 'rules': 0}
+    counts = {'lexicon': 0, 'lexicon_possessive': 0, 'cmudict': 0,
+              'cmudict_inflected': 0, 'rules': 0}
     dropped_chars = 0
     total_chars = 0
     rule_types = set()
@@ -126,11 +128,15 @@ def corpus_rates(text_path: Path):
             if not ipa:
                 dropped_chars += len(base)
     n = len(words)
+    lex_total = n - counts['rules']
     return {
         'n_word_tokens': n,
         'n_word_types': len(set(words)),
         'lexicon_hit_rate': round(counts['lexicon'] / n, 4),
         'lexicon_possessive_rate': round(counts['lexicon_possessive'] / n, 4),
+        'cmudict_hit_rate': round(counts['cmudict'] / n, 4),
+        'cmudict_inflected_rate': round(counts['cmudict_inflected'] / n, 4),
+        'lexicon_any_rate': round(lex_total / n, 4),
         'rule_path_rate': round(counts['rules'] / n, 4),
         'rule_path_types': len(rule_types),
         'fully_unmapped_word_rate': round(dropped_chars and

@@ -3,9 +3,11 @@
 The fixture (tests/fixtures/espeak_en_us_ipa.tsv) is hand-transcribed
 approximate espeak-ng en-us ground truth — see its provenance header. These
 floors catch regressions in text/g2p.py rules/lexicon, not absolute truth.
-Measured values at the time of writing (scripts/measure_g2p_fidelity.py):
-symbol similarity 0.89 (with stress) / 0.94 (stress-stripped), lexicon-path
-0.97, corpus lexicon-hit rate 0.57.
+Measured values at the time of writing (scripts/measure_g2p_fidelity.py,
+round 5, after the CMUdict-class table landed in text/lexicon_en.py):
+symbol similarity 0.93 (with stress) / 0.98 (stress-stripped), corpus
+lexicon-any token coverage 0.995 (curated 0.57 + cmudict 0.34 + inflected
+0.09), rule-path 0.005.
 """
 import sys
 from pathlib import Path
@@ -18,17 +20,22 @@ from measure_g2p_fidelity import corpus_rates, fixture_agreement, CORPUS
 def test_fixture_agreement_floors():
     f = fixture_agreement()
     assert f['n_words'] >= 150
-    assert f['mean_symbol_similarity'] >= 0.85
-    assert f['mean_symbol_similarity_no_stress'] >= 0.90
+    assert f['mean_symbol_similarity'] >= 0.90
+    assert f['mean_symbol_similarity_no_stress'] >= 0.95
+    assert f['exact_match_rate_no_stress'] >= 0.85
     assert f['by_path']['lexicon']['mean_similarity_no_stress'] >= 0.95
-    assert f['by_path']['rules']['mean_similarity_no_stress'] >= 0.85
+    assert f['by_path']['cmudict']['mean_similarity_no_stress'] >= 0.95
 
 
 def test_corpus_path_rates():
     r = corpus_rates(CORPUS)
-    # common English prose: the curated lexicon should cover the majority
-    # of word TOKENS (function words dominate token counts)
+    # curated irregulars alone still cover the majority of word TOKENS
+    # (function words dominate token counts)
     assert r['lexicon_hit_rate'] >= 0.5
+    # with the CMUdict-class table + morphology, nearly everything is a
+    # dictionary pronunciation rather than letter-to-sound rules
+    # (VERDICT r4 item 3 bar: >= 0.9)
+    assert r['lexicon_any_rate'] >= 0.9
     # and nothing should come out fully unmapped
     assert r['fully_unmapped_word_rate'] == 0
 
@@ -42,4 +49,38 @@ def test_g2p_tokenizes_cleanly():
     inventory = set(all_phonemes)
     for word, _ in load_fixture():
         ipa = g2p.g2p_word(word)
+        assert all(c in inventory for c in ipa), (word, ipa)
+
+
+def test_morphology_derivations():
+    """The inflection layer derives regular forms with the standard
+    voicing-assimilation and flapping rules (espeak-like conventions)."""
+    from transformertts_tpu.text import g2p
+    cases = {
+        'created': 'kɹiːˈeɪɾɪd',      # -ed after t -> flap + ɪd
+        'states': 'stˈeɪts',           # voiceless final -> s
+        'fathers': 'fˈɑːðɚz',          # voiced final -> z
+        'places': 'plˈeɪsɪz',          # sibilant final -> ɪz
+        'testing': 'tˈɛstɪŋ',          # -ing, no flap after s
+        'cities': 'sˈɪɾiz',            # -ies from -y lemma
+        'bigger': 'bˈɪɡɚ',             # doubled consonant stripped
+        'highly': 'hˈaɪli',            # -ly
+        "wouldn't": 'wˈʊdənt',         # contraction (direct entry)
+        "senate's": 'sˈɛnəts',         # possessive
+    }
+    for word, want in cases.items():
+        assert g2p.g2p_word(word) == want, (word, g2p.g2p_word(word), want)
+    paths = {g2p.g2p_word_path(w) for w in
+             ('created', 'states', 'cities', 'bigger')}
+    assert paths == {'cmudict_inflected'}
+
+
+def test_lexicon_entries_inside_inventory():
+    """Import-time validation is also pinned here so a bad entry fails the
+    suite, not just the first import in production."""
+    from transformertts_tpu.text import lexicon_en
+    from transformertts_tpu.text.symbols import all_phonemes
+    inventory = set(all_phonemes)
+    assert len(lexicon_en.LEXICON_EN) > 1000
+    for word, ipa in lexicon_en.LEXICON_EN.items():
         assert all(c in inventory for c in ipa), (word, ipa)

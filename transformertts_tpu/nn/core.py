@@ -29,6 +29,9 @@ Params = dict
 
 PRECISION = jax.lax.Precision.HIGHEST
 
+# How Conv1D lowers a SAME conv: 'lax' | 'shifted' | 'unfold' (see Conv1D).
+CONV1D_FORMULATION = 'lax'
+
 
 def matmul_precision(dtype) -> jax.lax.Precision:
     """HIGHEST for float32 operands (exactness); DEFAULT for bfloat16
@@ -74,10 +77,12 @@ def dropout(x: jax.Array, rate: float, rng: Optional[jax.Array], deterministic: 
     """
     if deterministic or rate == 0.0:
         return x
+    if rate >= 1.0:
+        # keep-scale would be x/0: a rate this pathological means "drop
+        # everything", so return exact zeros instead of inf-tainted values
+        return jnp.zeros_like(x)
     keep = 1.0 - rate
-    # static threshold; clamp keeps a pathological rate=1.0 from wrapping
-    # uint16 to 0 (which would silently disable dropout entirely)
-    thresh = min(65535, int(round(rate * 65536.0)))
+    thresh = int(round(rate * 65536.0))
     if thresh == 0:
         return x
     bits = jax.random.bits(rng, x.shape, jnp.uint16)
@@ -120,6 +125,22 @@ class Conv1D:
 
     Kernel layout (width, in, out) = Keras Conv1D layout for direct
     checkpoint conversion.
+
+    ``CONV1D_FORMULATION`` selects how a SAME-padded conv lowers:
+
+    - ``'lax'``: ``lax.conv_general_dilated`` NWC. The conv itself hits
+      85–94% of bf16 peak in isolation (scripts/bench_conv_formulations.py),
+      but in the full synthesis graph XLA assigns the conv operand layout
+      {2,0,1} while every surrounding dot/LN/attention op uses {1,2,0} —
+      costing three ~0.05–0.06 ms layout copies per conv block (~1.0 ms of
+      the 21 ms B64×768f dispatch, measured round 5).
+    - ``'shifted'``: k time-shifted ``dot_general``s summed. Same FLOPs on
+      the MXU, but every operand is a plain dot in the ambient layout, so
+      layout assignment has nothing to disagree about.
+    - ``'unfold'``: concat the k shifts channel-wise into one GEMM.
+
+    All three are mathematically identical (same f32 accumulation); the knob
+    only changes the lowering. Default 'lax'.
     """
 
     def __init__(self, in_dim: int, filters: int, kernel_size: int,
@@ -141,13 +162,46 @@ class Conv1D:
 
     def apply(self, params: Params, x: jax.Array) -> jax.Array:
         pet = jnp.float32 if x.dtype == jnp.float32 else None
-        y = jax.lax.conv_general_dilated(
-            x, params['kernel'].astype(x.dtype),
-            window_strides=(1,),
-            padding=self.padding,
-            dimension_numbers=('NWC', 'WIO', 'NWC'),
-            precision=matmul_precision(x.dtype),
-            preferred_element_type=pet)
+        kernel = params['kernel'].astype(x.dtype)
+        prec = matmul_precision(x.dtype)
+        form = CONV1D_FORMULATION
+        if form != 'lax' and self.padding == 'SAME':
+            k = self.kernel_size
+            half = k // 2
+            if form == 'shifted':
+                # y[t] = sum_w x[t + w - half] @ kernel[w], zero-padded ends
+                y = jnp.dot(x, kernel[half], precision=prec,
+                            preferred_element_type=pet)
+                for w in range(k):
+                    if w == half:
+                        continue
+                    s = w - half
+                    part = jnp.dot(x[:, max(s, 0): x.shape[1] + min(s, 0)],
+                                   kernel[w], precision=prec,
+                                   preferred_element_type=pet)
+                    if s < 0:
+                        y = y.at[:, -s:].add(part)
+                    else:
+                        y = y.at[:, :x.shape[1] - s].add(part)
+            else:  # unfold
+                b, t, c = x.shape
+                shifts = []
+                for w in range(k):
+                    s = w - half
+                    sl = x[:, max(s, 0): t + min(s, 0)]
+                    pad = [(0, 0), (-min(s, 0), max(s, 0)), (0, 0)]
+                    shifts.append(jnp.pad(sl, pad))
+                xcat = jnp.concatenate(shifts, axis=-1)          # (B, T, kC)
+                y = jnp.dot(xcat, kernel.reshape(k * c, -1),
+                            precision=prec, preferred_element_type=pet)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, kernel,
+                window_strides=(1,),
+                padding=self.padding,
+                dimension_numbers=('NWC', 'WIO', 'NWC'),
+                precision=prec,
+                preferred_element_type=pet)
         y = y + params['bias'].astype(y.dtype)
         return self.act(y).astype(x.dtype)
 

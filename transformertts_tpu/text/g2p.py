@@ -6,18 +6,24 @@ when present on the host (see ``phonemizer.py``), but this module provides a
 dependency-free fallback so the framework is usable end-to-end — synthesis,
 preprocessing, and all tests — on machines without espeak.
 
-This is a lexicon + letter-to-sound-rules G2P:
+This is a layered lexicon + letter-to-sound-rules G2P:
 
 - a small exception lexicon of very frequent English words with irregular
   spellings, transcribed in the same IPA inventory as espeak en-us output;
+- a CMUdict-class table of a few thousand frequent lemmas authored in
+  ARPAbet and mapped to the same inventory, with a morphology layer that
+  derives regular inflections (``lexicon_en.py``);
 - ordered context-sensitive substring rules for everything else;
 - primary stress ``ˈ`` placed on the first vowel of content words when
-  ``with_stress`` is requested.
+  ``with_stress`` is requested (table entries carry espeak-style stress
+  marks of their own).
 
 Output is restricted to ``symbols.all_phonemes`` so it always tokenizes.
 """
 import re
 from typing import Dict, List, Tuple
+
+from transformertts_tpu.text import lexicon_en
 
 # frequent irregular words (espeak-en-us-like IPA)
 _LEXICON: Dict[str, str] = {
@@ -188,26 +194,41 @@ def _add_stress(ipa: str) -> str:
 
 
 def g2p_word_path(word: str) -> str:
-    """Which branch ``g2p_word`` takes: 'lexicon', 'lexicon_possessive' or
-    'rules'. Used by scripts/measure_g2p_fidelity.py to report how much of a
-    corpus is covered by the curated lexicon vs the letter-to-sound rules."""
+    """Which branch ``g2p_word`` takes: 'lexicon', 'lexicon_possessive',
+    'cmudict', 'cmudict_inflected' or 'rules'. Used by
+    scripts/measure_g2p_fidelity.py to report how much of a corpus is
+    covered by the lexicon layers vs the letter-to-sound rules."""
     word = word.lower()
     if word in _LEXICON:
         return 'lexicon'
     if word.endswith("'s") and word[:-2] in _LEXICON:
         return 'lexicon_possessive'
+    hit = lexicon_en.lookup(word, extra=_LEXICON)
+    if hit is not None:
+        return hit[1]
     return 'rules'
 
 
 def g2p_word(word: str, with_stress: bool = True) -> str:
     word = word.lower()
+    stressed = None      # table entries carry their own espeak-style marks
     if word in _LEXICON:
         ipa = _LEXICON[word]
     elif word.endswith("'s") and word[:-2] in _LEXICON:
         ipa = _LEXICON[word[:-2]] + 'z'
     else:
-        base = word.replace("'", '')
-        ipa = _apply_rules(base)
+        hit = lexicon_en.lookup(word, extra=_LEXICON)
+        if hit is not None:
+            stressed = hit[0]
+        else:
+            ipa = _apply_rules(word.replace("'", ''))
+    if stressed is not None:
+        if not with_stress:
+            return stressed.replace('ˈ', '').replace('ˌ', '')
+        if 'ˈ' not in stressed and word not in _FUNCTION_WORDS:
+            # derived from a curated (mark-less) base, e.g. 'goes' <- 'go'
+            stressed = _add_stress(stressed)
+        return stressed
     if with_stress and word not in _FUNCTION_WORDS:
         ipa = _add_stress(ipa)
     return ipa
