@@ -71,15 +71,20 @@ def main():
     ap.add_argument('--formulation', default=None,
                     choices=['lax', 'shifted', 'unfold'],
                     help='override Conv1D lowering for ALL configs')
+    ap.add_argument('--configs', default=None,
+                    help='comma-separated config names to run (default all)')
     args = ap.parse_args()
     from transformertts_tpu.utils.scripts_utils import enable_compilation_cache
     enable_compilation_cache()
     if args.formulation:
         import transformertts_tpu.nn.core as core
         core.CONV1D_FORMULATION = args.formulation
-        print(f'Conv1D formulation: {args.formulation}')
+        print(f'Conv1D formulation: {args.formulation}', flush=True)
     import jax
 
+    names = set(args.configs.split(',')) if args.configs else None
+    configs = [(n, o) for n, o in CONFIGS
+               if names is None or n in names or n == 'default']
     model, trainer, state = build()
     rng = np.random.default_rng(0)
     buckets = BUCKETS if args.bucket is None else [BUCKETS[args.bucket]]
@@ -94,20 +99,20 @@ def main():
         del s, aux
         lowered = trainer._train_step.lower(state, dbatch)
         base_ms = None
-        print(f'\nbucket B{b}x{n_frames}f  ({args.iters} iters each)')
-        print(f'{"config":>16} {"ms/step":>9} {"delta":>8}')
-        for name, opts in CONFIGS:
+        print(f'\nbucket B{b}x{n_frames}f  ({args.iters} iters each)', flush=True)
+        print(f'{"config":>16} {"ms/step":>9} {"delta":>8}', flush=True)
+        for name, opts in configs:
             try:
                 compiled = lowered.compile(compiler_options=opts) if opts \
                     else lowered.compile()
             except Exception as e:  # rejected option on this jaxlib
-                print(f'{name:>16} {"rejected":>9}   {str(e)[:60]}')
+                print(f'{name:>16} {"rejected":>9}   {str(e)[:60]}', flush=True)
                 continue
             dt = time_compiled(compiled, state, dbatch, args.iters) * 1e3
             if base_ms is None and name == 'default':
                 base_ms = dt
             delta = f'{dt - base_ms:+7.1f}' if base_ms is not None else ''
-            print(f'{name:>16} {dt:9.2f} {delta:>8}')
+            print(f'{name:>16} {dt:9.2f} {delta:>8}', flush=True)
             del compiled
 
 

@@ -272,3 +272,42 @@ def test_dropout_u16_semantics():
     # accidental all-keep mask with a wrong scale
     tiny = core.dropout(xr, 1e-6, key, False)
     assert (tiny == xr).all()
+
+
+def test_dropout_rate_one_returns_zeros():
+    """rate >= 1.0 means drop everything: exact zeros, never an inf-tainted
+    keep-scale (advisor finding, round 4)."""
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (32, 32))
+    y = core.dropout(x, 1.0, key, deterministic=False)
+    assert (np.asarray(y) == 0).all()
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_f32_narrow_pv_weights_exact():
+    """nn/attention.F32_NARROW_PV (the aligner's store-narrow/return-exact
+    boundary): RETURNED attention weights are bit-identical to the default
+    f32 path — duration extraction and the teacher losses see exactly the
+    same maps — while the attention OUTPUT moves only by bf16 resolution."""
+    from transformertts_tpu.nn import attention
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((2, 2, 24, 8)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 2, 24, 8)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 2, 24, 8)), jnp.float32)
+    mask = jnp.zeros((2, 1, 1, 24)).at[:, :, :, 20:].set(1.0)
+    assert not attention.F32_NARROW_PV  # default off
+    # distinct wrapper lambdas: jax's trace cache is keyed on the callable,
+    # and the flag is read at trace time
+    o0, w0 = jax.jit(lambda *a: attention.scaled_dot_product_attention(*a))(
+        q, k, v, mask)
+    attention.F32_NARROW_PV = True
+    try:
+        o1, w1 = jax.jit(
+            lambda *a: attention.scaled_dot_product_attention(*a))(
+            q, k, v, mask)
+    finally:
+        attention.F32_NARROW_PV = False
+    assert bool(jnp.all(w0 == w1))
+    assert o1.dtype == jnp.float32
+    scale = float(jnp.abs(o0).max())
+    assert float(jnp.abs(o0 - o1).max()) < 0.02 * scale

@@ -31,6 +31,17 @@ from transformertts_tpu.nn import core
 
 NEG_INF = -1e9
 
+# Store-narrow / return-exact boundary for FLOAT32 attention (the aligner's
+# dtype): when True, the (B,H,Tq,Tk) softmax numerator is rounded to bf16 at
+# the fusion boundary for the PV matmul (single-pass MXU instead of
+# Precision.HIGHEST multi-pass f32) while the RETURNED normalized weights —
+# what the aligner teacher losses and duration extraction consume — stay
+# exact f32, bit-identical to the plain path. This changes only the
+# attention OUTPUT's numerics (~bf16 resolution), not the attention maps.
+# Off by default; scripts/measure_aligner_narrow_pv.py measures the
+# step-time and extraction-fidelity sides of the trade.
+F32_NARROW_PV = False
+
 
 def scaled_dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                                  mask: Optional[jax.Array],
@@ -109,6 +120,26 @@ def _sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
                                 precision=core.matmul_precision(v.dtype),
                                 preferred_element_type=jnp.float32)
         out = (out_unnorm / denom_b).astype(v.dtype)
+        return out, weights
+    if F32_NARROW_PV and v.dtype == jnp.float32:
+        # f32 variant of the bf16 numerator boundary above: same linearity
+        # trick, but the exact-f32 normalized weights are both returned AND
+        # (unlike the bf16 path) always live — the aligner consumes them.
+        # The win here is the PV matmul itself: bf16 operands run one MXU
+        # pass instead of Precision.HIGHEST's multi-pass f32 emulation, and
+        # the (Tq,Tk) operand it streams is half-width.
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        unnorm = jnp.exp(logits - m)
+        denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+        weights = unnorm / denom
+        unnorm_b, denom_b = jax.lax.optimization_barrier(
+            (unnorm.astype(jnp.bfloat16), denom))
+        numer_used = core.dropout(unnorm_b, dropout_rate, rng, deterministic)
+        out_unnorm = jnp.einsum('bhqk,bhkd->bhqd', numer_used,
+                                v.astype(jnp.bfloat16),
+                                precision=core.matmul_precision(jnp.bfloat16),
+                                preferred_element_type=jnp.float32)
+        out = out_unnorm / denom_b
         return out, weights
     weights = jax.nn.softmax(logits, axis=-1)
     weights_used = core.dropout(weights, dropout_rate, rng, deterministic)
