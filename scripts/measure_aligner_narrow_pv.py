@@ -57,11 +57,13 @@ def measure_step(narrow: bool, iters: int, bucket):
         stop[:, -1] = 2
         dbatch = trainer.shard_batch(
             {'tokens': tokens, 'mel': mel, 'stop_probs': stop})
-        s, aux = trainer.train_step(state, dbatch, r=1)
+        # train_step donates its input state: chain the returns, never
+        # reuse a state object that has already been passed in
+        state, aux = trainer.train_step(state, dbatch, r=1)
         float(aux['loss'])
         t0 = time.perf_counter()
         for _ in range(iters):
-            s, aux = trainer.train_step(s, dbatch, r=1)
+            state, aux = trainer.train_step(state, dbatch, r=1)
         float(aux['loss'])
         dt = (time.perf_counter() - t0) / iters
         out.append(round(dt * 1e3, 2))
