@@ -9,9 +9,15 @@ unnormalized softmax numerator (single MXU pass, half-width stream) while
 the RETURNED normalized weights — the aligner teacher losses' and duration
 extraction's input — stay exact f32.
 
+These measurements made narrow-PV the AlignerTrainer DEFAULT (round 5):
+31.5/36.2/41.7 -> 30.1/31.5/36.4 ms/step, equivalent convergence, 100%
+same-weights duration agreement. The trainer applies it per-trace
+(narrow_pv=True), so this script toggles trainer.narrow_pv, not the module
+global.
+
 Measures:
 1. perf: published-scale aligner train step (r=1, all three buckets),
-   default vs narrow-PV;
+   plain f32 vs narrow-PV;
 2. fidelity: on the synthetic ground-truth language
    (tests/convergence_check.py) — train an aligner with narrow-PV ON and
    compare final loss + extracted-duration MAE vs the f32 default, plus the
@@ -38,10 +44,9 @@ sys.path.insert(0, str(Path(__file__).parent))
 
 def measure_step(narrow: bool, iters: int, bucket):
     import jax
-    from transformertts_tpu.nn import attention
     from measure_train_step import build_aligner
-    attention.F32_NARROW_PV = narrow
     model, trainer, state = build_aligner()   # fresh jit caches per arm
+    trainer.narrow_pv = narrow   # read at trace time by _attention_scope
     rng = np.random.default_rng(0)
     vocab = model.text_pipeline.tokenizer.vocab_size
     buckets = [(256, 64, 48), (512, 32, 96), (896, 16, 160)]
@@ -73,30 +78,28 @@ def measure_step(narrow: bool, iters: int, bucket):
 
 
 def measure_fidelity(steps: int):
-    import jax
-    from transformertts_tpu.nn import attention
     from convergence_check import aligner_convergence
     from transformertts_tpu.models.aligner import Aligner
     from transformertts_tpu.ops.duration_extraction import (
         get_durations_from_alignment)
     from transformertts_tpu.training import AlignerTrainer, make_optimizer
 
-    print('=== f32 default training arm ===', flush=True)
-    attention.F32_NARROW_PV = False
-    base = aligner_convergence(steps=steps, return_artifacts=True)
+    print('=== f32 plain-path training arm ===', flush=True)
+    base = aligner_convergence(steps=steps, return_artifacts=True,
+                               narrow_pv=False)
     print('=== narrow-PV training arm (same data/seeds/dropout) ===',
           flush=True)
-    attention.F32_NARROW_PV = True
-    narrow = aligner_convergence(steps=steps, return_artifacts=True)
+    narrow = aligner_convergence(steps=steps, return_artifacts=True,
+                                 narrow_pv=True)
 
-    # same-weights inference: f32-trained params through a narrow-PV forward
+    # same-weights inference: plain-f32-trained params through a narrow-PV
+    # forward
     model_n = Aligner.from_config(dict(base['model'].config))
     trainer_n = AlignerTrainer(
-        model_n, make_optimizer([(0, 3e-4), (10**6, 3e-4)]))
+        model_n, make_optimizer([(0, 3e-4), (10**6, 3e-4)]), narrow_pv=True)
     state_n = trainer_n.init_state(params=base['state'].params)
     batch = base['batch_of'](np.arange(8))
     aux = trainer_n.val_step(state_n, batch, r=1)
-    attention.F32_NARROW_PV = False
     attn = np.asarray(
         aux['decoder_attention']['Decoder_LastBlock_CrossAttention'])[:8]
     dur_n, _, _, _, _ = get_durations_from_alignment(

@@ -84,7 +84,8 @@ def forward_convergence(steps=700, report_every=100):
 
 
 def aligner_convergence(steps=2500, report_every=500,
-                        compute_dtype='float32', return_artifacts=False):
+                        compute_dtype='float32', return_artifacts=False,
+                        narrow_pv=True):
     import jax
     from transformertts_tpu.models.aligner import Aligner
     from transformertts_tpu.ops.duration_extraction import (
@@ -111,7 +112,8 @@ def aligner_convergence(steps=2500, report_every=500,
         encoder_feed_forward_dimension=96, decoder_feed_forward_dimension=96,
         max_r=1)
     model.init_params(jax.random.PRNGKey(1))
-    trainer = AlignerTrainer(model, make_optimizer([(0, 3e-4), (10**6, 3e-4)]))
+    trainer = AlignerTrainer(model, make_optimizer([(0, 3e-4), (10**6, 3e-4)]),
+                             narrow_pv=narrow_pv)
     state = trainer.init_state(params=model.params)
 
     start_id = model.text_pipeline.tokenizer.start_token_index

@@ -287,3 +287,28 @@ def test_bf16_aligner_trains_and_keeps_f32_attention_maps():
     # rows over real frames sum to 1 (normalized f32 softmax)
     row = np.asarray(attn)[0, :, 1, :].sum(-1)
     np.testing.assert_allclose(row, 1.0, rtol=1e-5)
+
+
+def test_narrow_pv_default_scoped_to_trainer_traces(aligner):
+    """The AlignerTrainer defaults to the narrow-PV attention boundary but
+    applies it per-trace: the module global must be False before, during
+    (as seen from outside the trace) and after trainer use, so f32 TTS
+    paths traced in the same process keep their <1e-4 reference parity.
+    The attention maps it returns remain exact normalized f32 softmax."""
+    from transformertts_tpu.nn import attention
+    assert not attention.F32_NARROW_PV
+    mesh = make_mesh(MeshConfig(data=8, model=1),
+                     devices=jax.devices('cpu')[:8])
+    tx = make_optimizer([(0, 1e-3), (100, 1e-3)])
+    trainer = AlignerTrainer(aligner, tx, mesh=mesh)
+    assert trainer.narrow_pv  # default ON
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = _fake_batch(aligner)
+    state, aux = trainer.train_step(state, batch, r=5)
+    assert np.isfinite(float(aux['loss']))
+    val = trainer.val_step(state, batch, r=5)
+    attn = np.asarray(
+        val['decoder_attention']['Decoder_LastBlock_CrossAttention'])
+    assert attn.dtype == np.float32
+    np.testing.assert_allclose(attn[0, :, 1, :].sum(-1), 1.0, rtol=1e-5)
+    assert not attention.F32_NARROW_PV  # no leak out of the traces

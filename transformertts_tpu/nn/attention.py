@@ -38,8 +38,11 @@ NEG_INF = -1e9
 # what the aligner teacher losses and duration extraction consume — stay
 # exact f32, bit-identical to the plain path. This changes only the
 # attention OUTPUT's numerics (~bf16 resolution), not the attention maps.
-# Off by default; scripts/measure_aligner_narrow_pv.py measures the
-# step-time and extraction-fidelity sides of the trade.
+# The module default stays False (f32 TTS forward keeps <1e-4 reference
+# parity); AlignerTrainer turns it on per-trace (narrow_pv=True default) via
+# its _attention_scope. scripts/measure_aligner_narrow_pv.py measures the
+# step-time and extraction-fidelity sides of the trade (real v5e:
+# -4.5/-13.0/-12.7% ms/step, 100% same-weights duration agreement).
 F32_NARROW_PV = False
 
 

@@ -10,7 +10,20 @@ changing them on schedule selects a different cached executable (the
 reference re-traces all tf.functions instead, models.py:229-245). The
 diagonal masks are computed with the vectorized batch_diagonal_mask (no host
 loop).
+
+The aligner's attention traces with the store-narrow/return-exact PV
+boundary ON by default (``narrow_pv=True`` → nn/attention.F32_NARROW_PV
+inside this trainer's traces only): the PV matmul consumes a bf16 rounding
+of the softmax numerator (single MXU pass instead of float32's multi-pass
+HIGHEST emulation) while the returned attention maps — what the teacher
+losses and duration extraction read — stay exact f32 softmax. Measured
+(scripts/measure_aligner_narrow_pv.py, real v5e): 31.5/36.2/41.7 →
+30.1/31.5/36.4 ms/step across the three buckets (−4.5/−13.0/−12.7%);
+convergence equivalent and 100% same-weights duration agreement on the
+synthetic ground-truth language. ``narrow_pv: false`` in aligner_settings
+restores the plain f32 path.
 """
+import contextlib
 from typing import Optional
 
 import jax
@@ -90,9 +103,14 @@ class AlignerTrainer(BaseTrainer):
 
     def __init__(self, model, tx: optax.GradientTransformation,
                  mesh: Optional[Mesh] = None, stop_scaling: float = 8.0,
-                 base_rng_seed: int = 42, grad_accumulation: int = 1):
+                 base_rng_seed: int = 42, grad_accumulation: int = 1,
+                 narrow_pv: bool = True):
         super().__init__(model, tx, mesh=mesh, base_rng_seed=base_rng_seed)
         self.stop_loss = new_scaled_crossentropy(index=2, scaling=stop_scaling)
+        # see module docstring; applied per-trace via _attention_scope so the
+        # process-global default (and e.g. f32 TTS parity paths traced later
+        # in the same process) is never mutated
+        self.narrow_pv = bool(narrow_pv)
         # N > 1: scan fwd+bwd over N micro-batches, one Adam update on the
         # mean gradient (same semantics as ForwardTrainer — the aligner
         # trains the same 896-frame buckets at r=1 where HBM capacity, not
@@ -101,6 +119,21 @@ class AlignerTrainer(BaseTrainer):
         self.grad_accumulation = int(grad_accumulation)
 
     # ------------------------------------------------------------------ steps
+
+    @contextlib.contextmanager
+    def _attention_scope(self):
+        """Scope nn/attention.F32_NARROW_PV to THIS trace. The flag only
+        affects graph construction, and a jitted function's Python body runs
+        exactly once per trace — so set/restore inside the traced body
+        applies the boundary to this trainer's executables and nothing
+        else."""
+        from transformertts_tpu.nn import attention
+        old = attention.F32_NARROW_PV
+        attention.F32_NARROW_PV = self.narrow_pv
+        try:
+            yield
+        finally:
+            attention.F32_NARROW_PV = old
 
     def _loss_and_grads(self, params, batch: dict, rng, r: int,
                         force_enc: bool, force_dec: bool,
@@ -120,6 +153,13 @@ class AlignerTrainer(BaseTrainer):
         return grads, aux
 
     def _train_step_impl(self, state: TrainState, batch: dict, r: int,
+                         force_enc: bool, force_dec: bool,
+                         return_attention: bool):
+        with self._attention_scope():
+            return self._train_step_body(state, batch, r, force_enc,
+                                         force_dec, return_attention)
+
+    def _train_step_body(self, state: TrainState, batch: dict, r: int,
                          force_enc: bool, force_dec: bool,
                          return_attention: bool):
         rng = jax.random.fold_in(self.base_rng, state.step)
@@ -144,9 +184,10 @@ class AlignerTrainer(BaseTrainer):
 
     def _val_step_impl(self, state: TrainState, batch: dict, r: int,
                        force_enc: bool, force_dec: bool):
-        _, (losses, out) = aligner_loss(
-            self.model, state.params, batch, r, self.stop_loss,
-            force_enc, force_dec, None, deterministic=True)
+        with self._attention_scope():
+            _, (losses, out) = aligner_loss(
+                self.model, state.params, batch, r, self.stop_loss,
+                force_enc, force_dec, None, deterministic=True)
         aux = dict(losses)
         aux['mel_pred'] = out['mel']
         aux['decoder_attention'] = out['decoder_attention']

@@ -148,7 +148,8 @@ class TrainingConfigManager:
             from transformertts_tpu.training.aligner_trainer import AlignerTrainer
             return AlignerTrainer(
                 model, tx, mesh=mesh, stop_scaling=self.stop_scaling,
-                grad_accumulation=int(self.config.get('grad_accumulation', 1)))
+                grad_accumulation=int(self.config.get('grad_accumulation', 1)),
+                narrow_pv=bool(self.config.get('narrow_pv', True)))
         from transformertts_tpu.training.forward_trainer import ForwardTrainer
         return ForwardTrainer(
             model, tx, mesh=mesh,
