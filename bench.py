@@ -9,6 +9,16 @@ blocks — config/training_config.yaml:104-124 in the reference). The baseline
 to beat (BASELINE.md) is the TF2 reference on CPU; its measured number is
 cached in BENCH_BASELINE.json (measured once with the reference's stack when
 available, else the conservative estimate recorded there).
+
+Timing form (round 5): sustained back-to-back throughput — a `lax.scan`
+over K=10 independent token batches inside one dispatch, so the per-call
+host/queue bubble (~1 ms through the remote tunnel, which admits a single
+in-flight execution) is paid once per K batches instead of once per batch,
+exactly as a production serving loop would run. The scan body is the same
+synthesis graph as a single dispatch; before timing, the scan's first
+output is checked BIT-IDENTICAL to the single-dispatch output (hard fail
+otherwise). Measured round 5: single-dispatch 21.4 ms/batch, scan-of-10
+21.3 ms/batch (BASELINE.md "scan pipelining" row).
 """
 import json
 import time
@@ -73,6 +83,7 @@ def main():
     params = model.params
 
     batch, n_tok, n_frames = 64, 128, 768  # B64 saturates the chip (B32: 1.78M, B64: 1.87M, B128: 1.80M frames/s)
+    K = 10  # token batches per dispatch (scan-of-K; see module docstring)
 
     def synth(params, tokens):
         out = model.apply(params, tokens, max_frames=n_frames,
@@ -80,24 +91,38 @@ def main():
         return out['mel']
 
     synth_jit = jax.jit(synth)
+
+    @jax.jit
+    def synth_scan(params, tokens_k):
+        def body(carry, toks):
+            return carry, synth(params, toks)
+        _, mels = jax.lax.scan(body, 0, tokens_k)
+        return mels
+
     rng = np.random.default_rng(0)
-    tokens = jnp.asarray(rng.integers(
+    tokens_k = jnp.asarray(rng.integers(
         1, model.text_pipeline.tokenizer.vocab_size,
-        size=(batch, n_tok), dtype=np.int32))
+        size=(K, batch, n_tok), dtype=np.int32))
 
-    # warmup/compile. NOTE: through the remote-dispatch tunnel
-    # block_until_ready does NOT synchronize with execution; a value fetch
-    # does, so every timing below syncs by fetching a scalar.
-    float(jnp.sum(synth_jit(params, tokens)))
+    # warmup/compile + correctness gate: the scanned graph must produce
+    # bit-identical mels to the single-dispatch graph it claims to measure.
+    # NOTE: through the remote-dispatch tunnel block_until_ready does NOT
+    # synchronize with execution; a value fetch does, so every timing below
+    # syncs by fetching a scalar.
+    mels = synth_scan(params, tokens_k)
+    mel0 = synth_jit(params, tokens_k[0])
+    if not bool(jnp.all(mels[0] == mel0)):
+        raise SystemExit('bench.py: scan-of-K output differs from the '
+                         'single-dispatch graph; refusing to time it.')
 
-    iters = 20
+    iters = 8   # timed batches: iters * K
     t0 = time.perf_counter()
     for _ in range(iters):
-        mel = synth_jit(params, tokens)
-    float(jnp.sum(mel))   # sync: scalar fetch
+        mels = synth_scan(params, tokens_k)
+    float(jnp.sum(mels))   # sync: scalar fetch
     dt = time.perf_counter() - t0
 
-    frames = batch * n_frames * iters
+    frames = batch * n_frames * iters * K
     fps = frames / dt
 
     print(json.dumps({
