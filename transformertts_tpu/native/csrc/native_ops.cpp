@@ -127,9 +127,75 @@ int vad_long_silence_mask(const float* wav, int64_t t, int sampling_rate,
     float thr = energy_threshold_db;
     if (floor_db <= -12.0f)
         thr = std::min(-12.0f, std::max(-48.0f, floor_db / 2.0f));
+    std::vector<double> db(n_windows);
+    for (int w = 0; w < n_windows; ++w)
+        db[w] = 20.0 * std::log10((double)rms[w] / ref);
     std::vector<float> flags(n_windows);
     for (int w = 0; w < n_windows; ++w)
-        flags[w] = (20.0f * std::log10(rms[w] / ref) > thr) ? 1.0f : 0.0f;
+        flags[w] = (db[w] > thr) ? 1.0f : 0.0f;
+
+    // --- speech-anchor classification (audio/vad.py module docstring) ---
+    // A window anchors speech when it is periodic in the pitch range
+    // (normalized autocorr peak over 70-400 Hz lags), syllabically
+    // modulated (local dB std over +-8 windows), and audible. Anchors are
+    // always speech; anchor-free runs >= 14 windows are never speech.
+    // Constants mirror vad.py (_ANCHOR_*, _MOD_CONTEXT, _NONSPEECH_MIN_RUN).
+    const int ana = (60 * sampling_rate) / 1000;
+    const int lag_lo = (int)(sampling_rate / 400.0);
+    const int lag_hi = (int)(sampling_rate / 70.0);
+    std::vector<uint8_t> anchor(n_windows, 0);
+    bool any_anchor = false;
+    std::vector<double> x((size_t)ana);
+    for (int w = 0; w < n_windows; ++w) {
+        // audibility + modulation first (cheap gates before the autocorr)
+        if (db[w] <= -35.0) continue;
+        int lo = std::max(0, w - 8), hi = std::min(n_windows, w + 9);
+        double mean_db = 0.0;
+        for (int k = lo; k < hi; ++k) mean_db += db[k];
+        mean_db /= (hi - lo);
+        double var = 0.0;
+        for (int k = lo; k < hi; ++k)
+            var += (db[k] - mean_db) * (db[k] - mean_db);
+        if (std::sqrt(var / (hi - lo)) < 2.0) continue;
+        // periodicity: centered 60 ms frame, linear autocorr over pitch lags
+        int64_t c = (int64_t)w * spw + spw / 2;
+        int64_t a = c - ana / 2;
+        if (a < 0) a = 0;
+        int64_t len = std::min<int64_t>(ana, t - a);
+        if (len < lag_hi + 32) continue;
+        double mean_x = 0.0;
+        for (int64_t s = 0; s < len; ++s) mean_x += wav[a + s];
+        mean_x /= (double)len;
+        double e = 1e-12;
+        for (int64_t s = 0; s < len; ++s) {
+            x[(size_t)s] = (double)wav[a + s] - mean_x;
+            e += x[(size_t)s] * x[(size_t)s];
+        }
+        double best = 0.0;
+        for (int tau = lag_lo; tau <= lag_hi; ++tau) {
+            double acc = 0.0;
+            for (int64_t s = 0; s + tau < len; ++s)
+                acc += x[(size_t)s] * x[(size_t)(s + tau)];
+            if (acc > best) best = acc;
+        }
+        if (best / e >= 0.80) {
+            anchor[w] = 1;
+            any_anchor = true;
+        }
+    }
+    if (any_anchor) {
+        for (int w = 0; w < n_windows; ++w)
+            if (anchor[w]) flags[w] = 1.0f;
+        int i = 0;
+        while (i < n_windows) {
+            if (anchor[i]) { ++i; continue; }
+            int j = i;
+            while (j < n_windows && !anchor[j]) ++j;
+            if (j - i >= 14)
+                for (int w = i; w < j; ++w) flags[w] = 0.0f;
+            i = j;
+        }
+    }
 
     // centered moving average (matches vad.py::_moving_average padding)
     int width = moving_average_width;
