@@ -19,9 +19,10 @@ measured numbers:
     long-silence removal.
 (d) VAD discrimination vs STRUCTURED noise (babble / music / keyboard
     clicks filling the internal gap) — the case webrtcvad's trained GMM
-    handles by classification (reference data/audio.py:172-194) and an
-    energy gate handles by level. Metrics: per-sample speech lost and
-    fraction of the structured-noise gap removed, at several gap levels.
+    handles by classification (reference data/audio.py:172-194), matched
+    since round 5 by the unsupervised speech-anchor stage (audio/vad.py).
+    Metrics: per-sample speech lost and fraction of the structured-noise
+    gap removed, at several gap levels.
 
 Run: python scripts/measure_dsp_fidelity.py
 """
@@ -236,11 +237,12 @@ def measure_vad_discrimination():
     """Speech | 1.2 s structured-noise gap | speech, gap level swept.
 
     The reference's webrtcvad trims babble/music gaps by *classifying* them
-    as non-speech regardless of level; the adaptive energy gate trims them
-    only while their level sits >12 dB under the speech mode, and above that
-    falls back to the conservative gate (keeps the gap — a clip-length
-    regression vs webrtcvad, never a correctness one). Both outcomes are
-    measured per sample here; losing SPEECH is the only failure mode.
+    as non-speech regardless of level. The round-4 energy-only gate matched
+    that outcome only below −12 dB gap levels; the round-5 speech-anchor
+    stage (audio/vad.py: periodicity + modulation anchors, anchor-free runs
+    ≥14 windows classified non-speech) makes the trim level-independent —
+    every cell measures ~90% gap removed / 0 ms speech lost. Losing SPEECH
+    is the only failure mode; per-sample attribution below.
     """
     from transformertts_tpu.audio import vad
     rng = np.random.default_rng(7)
