@@ -233,6 +233,34 @@ def _keyboard(n, rng):
     return (y / (np.abs(y).max() + 1e-9)).astype(np.float32)
 
 
+def _hum(n, rng):
+    """Steady 50 Hz mains hum with even/odd harmonics — periodic at lags the
+    pitch range partially covers, but unmodulated (the anchor stage's
+    modulation gate is what must reject it)."""
+    t = np.arange(n) / SR
+    y = (np.sin(2 * np.pi * 50 * t) + 0.5 * np.sin(2 * np.pi * 100 * t + 0.3)
+         + 0.3 * np.sin(2 * np.pi * 150 * t + 0.7))
+    return (y / np.abs(y).max()).astype(np.float32)
+
+
+def _babble_decorrelated(n, rng):
+    """8 harmonically-rich voices with INDEPENDENT vibrato and AM rates —
+    the adversarial babble: speech-like spectra AND speech-like modulation,
+    separable only by the periodicity (multi-pitch) cue."""
+    t = np.arange(n) / SR
+    voices = []
+    for f0, rate, ph in ((95, 2.7, 0.1), (120, 3.9, 1.2), (145, 1.9, 2.3),
+                         (170, 3.1, 3.1), (200, 2.2, 4.0), (230, 4.3, 0.7),
+                         (260, 1.6, 2.9), (300, 3.5, 1.5)):
+        f = f0 * (1 + 0.1 * np.sin(2 * np.pi * 0.7 * t + ph))
+        phase = np.cumsum(2 * np.pi * f / SR)
+        v = sum((0.6 / k) * np.sin(k * phase) for k in range(1, 8))
+        v *= 0.55 + 0.45 * np.sin(2 * np.pi * rate * t + ph)
+        voices.append(v)
+    y = np.sum(voices, axis=0)
+    return (y / np.abs(y).max()).astype(np.float32)
+
+
 def measure_vad_discrimination():
     """Speech | 1.2 s structured-noise gap | speech, gap level swept.
 
@@ -249,7 +277,8 @@ def measure_vad_discrimination():
     sp1, _, _ = synth_speech(0.8, 140.0, seed=4)
     sp2, _, _ = synth_speech(0.8, 200.0, seed=5)
     gap_n = int(1.2 * SR)
-    makers = {'babble': _babble, 'music': _music, 'keyboard': _keyboard}
+    makers = {'babble': _babble, 'music': _music, 'keyboard': _keyboard,
+              'hum': _hum, 'babble_decorrelated': _babble_decorrelated}
     window_ms, ma_width, max_sil = 30, 8, 6
     spw = (window_ms * SR) // 1000
     rows = []
