@@ -122,6 +122,38 @@ def test_batched_synthesis_matches_per_line(tiny_model):
             (len(wav), expected)
 
 
+def test_scan_of_k_serving_form_bit_exact(tiny_model):
+    """bench.py times a lax.scan over K token batches inside one dispatch
+    (the sustained serving form) and refuses to time it unless it is
+    bit-identical to the single-dispatch graph. Pin that equality here on
+    CPU so a regression is caught before the on-chip bench run
+    (bench.py scan-of-K gate; BASELINE.md scan-pipelining row)."""
+    m = tiny_model
+    K, batch, n_tok, n_frames = 3, 2, 8, 32
+
+    def synth(params, tokens):
+        return m.apply(params, tokens, max_frames=n_frames,
+                       deterministic=True)['mel']
+
+    synth_jit = jax.jit(synth)
+
+    @jax.jit
+    def synth_scan(params, tokens_k):
+        def body(carry, toks):
+            return carry, synth(params, toks)
+        return jax.lax.scan(body, 0, tokens_k)[1]
+
+    rng = np.random.default_rng(0)
+    vocab = m.text_pipeline.tokenizer.vocab_size
+    tokens_k = jnp.asarray(rng.integers(1, vocab, size=(K, batch, n_tok),
+                                        dtype=np.int32))
+    mels = synth_scan(m.params, tokens_k)
+    assert mels.shape[0] == K
+    for k in range(K):
+        np.testing.assert_array_equal(
+            np.asarray(mels[k]), np.asarray(synth_jit(m.params, tokens_k[k])))
+
+
 def test_serving_warmup_and_ragged_batches(tiny_model):
     """warmup_serving precompiles the menu; ragged chunk sizes pad to
     power-of-two batch buckets and still return per-line wavs."""
