@@ -171,14 +171,18 @@ int vad_long_silence_mask(const float* wav, int64_t t, int sampling_rate,
             x[(size_t)s] = (double)wav[a + s] - mean_x;
             e += x[(size_t)s] * x[(size_t)s];
         }
+        // the anchor decision is a threshold on max(acc)/e, so the lag loop
+        // can stop the moment any lag reaches it — exact for the boolean
+        const double need = 0.80 * e;
         double best = 0.0;
         for (int tau = lag_lo; tau <= lag_hi; ++tau) {
             double acc = 0.0;
             for (int64_t s = 0; s + tau < len; ++s)
                 acc += x[(size_t)s] * x[(size_t)(s + tau)];
             if (acc > best) best = acc;
+            if (best >= need) break;
         }
-        if (best / e >= 0.80) {
+        if (best >= need) {
             anchor[w] = 1;
             any_anchor = true;
         }
