@@ -4,10 +4,13 @@ The fixture (tests/fixtures/espeak_en_us_ipa.tsv) is hand-transcribed
 approximate espeak-ng en-us ground truth — see its provenance header. These
 floors catch regressions in text/g2p.py rules/lexicon, not absolute truth.
 Measured values at the time of writing (scripts/measure_g2p_fidelity.py,
-round 5, after the CMUdict-class table landed in text/lexicon_en.py):
-symbol similarity 0.93 (with stress) / 0.98 (stress-stripped), corpus
-lexicon-any token coverage 0.995 (curated 0.57 + cmudict 0.34 + inflected
-0.09), rule-path 0.005.
+round 5, after the CMUdict-class table + the espeak-convention pass:
+fixture-attested function-word destressing, AO→ɑː before ŋ/ɡ, unstressed-ER
+elision before unstressed vowels, FORCE-class curated entries):
+symbol similarity 1.000 (with stress) / 1.000 (stress-stripped), exact
+match 1.000 / 1.000 — the full fixture reproduced word-for-word. Corpus
+lexicon-any token coverage 1.00 (curated 0.57 + cmudict 0.34 + inflected
+0.09), rule-path 0.00.
 """
 import sys
 from pathlib import Path
@@ -20,11 +23,12 @@ from measure_g2p_fidelity import corpus_rates, fixture_agreement, CORPUS
 def test_fixture_agreement_floors():
     f = fixture_agreement()
     assert f['n_words'] >= 150
-    assert f['mean_symbol_similarity'] >= 0.90
-    assert f['mean_symbol_similarity_no_stress'] >= 0.95
-    assert f['exact_match_rate_no_stress'] >= 0.85
-    assert f['by_path']['lexicon']['mean_similarity_no_stress'] >= 0.95
-    assert f['by_path']['cmudict']['mean_similarity_no_stress'] >= 0.95
+    assert f['mean_symbol_similarity'] >= 0.99
+    assert f['mean_symbol_similarity_no_stress'] >= 0.995
+    assert f['exact_match_rate'] >= 0.98
+    assert f['exact_match_rate_no_stress'] >= 0.98
+    assert f['by_path']['lexicon']['mean_similarity_no_stress'] >= 0.99
+    assert f['by_path']['cmudict']['mean_similarity_no_stress'] >= 0.99
 
 
 def test_corpus_path_rates():

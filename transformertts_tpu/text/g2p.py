@@ -31,32 +31,32 @@ _LEXICON: Dict[str, str] = {
     'in': 'ɪn', 'is': 'ɪz', 'it': 'ɪt', 'you': 'juː', 'that': 'ðæt',
     'he': 'hiː', 'she': 'ʃiː', 'we': 'wiː', 'they': 'ðeɪ', 'was': 'wʌz',
     'for': 'fɔːɹ', 'on': 'ɑːn', 'are': 'ɑːɹ', 'as': 'æz', 'with': 'wɪð',
-    'his': 'hɪz', 'her': 'hɜːɹ', 'be': 'biː', 'at': 'æt', 'one': 'wʌn',
+    'his': 'hɪz', 'her': 'hɜː', 'be': 'biː', 'at': 'æt', 'one': 'wʌn',
     'have': 'hæv', 'has': 'hæz', 'had': 'hæd', 'this': 'ðɪs', 'from': 'fɹʌm',
     'or': 'ɔːɹ', 'by': 'baɪ', 'not': 'nɑːt', 'but': 'bʌt', 'what': 'wʌt',
-    'all': 'ɔːl', 'were': 'wɜːɹ', 'when': 'wɛn', 'your': 'jʊɹ', 'can': 'kæn',
+    'all': 'ɔːl', 'were': 'wɜː', 'when': 'wɛn', 'your': 'jʊɹ', 'can': 'kæn',
     'said': 'sɛd', 'there': 'ðɛɹ', 'use': 'juːz', 'word': 'wɜːd',
     'how': 'haʊ', 'each': 'iːtʃ', 'which': 'wɪtʃ', 'do': 'duː',
     'their': 'ðɛɹ', 'if': 'ɪf', 'will': 'wɪl', 'up': 'ʌp', 'other': 'ʌðɚ',
     'about': 'ɐbaʊt', 'out': 'aʊt', 'many': 'mɛni', 'then': 'ðɛn',
     'them': 'ðɛm', 'these': 'ðiːz', 'so': 'soʊ', 'some': 'sʌm',
-    'would': 'wʊd', 'into': 'ɪntuː', 'who': 'huː', 'could': 'kʊd',
-    'been': 'bɪn', 'now': 'naʊ', 'my': 'maɪ', 'than': 'ðæn', 'first': 'fɜːst',
-    'water': 'wɔːtɚ', 'people': 'piːpəl', 'i': 'aɪ', 'me': 'miː',
-    'no': 'noʊ', 'us': 'ʌs', 'two': 'tuː', 'more': 'mɔːɹ', 'go': 'ɡoʊ',
+    'would': 'wʊd', 'into': 'ˌɪntʊ', 'who': 'huː', 'could': 'kʊd',
+    'been': 'bɪn', 'now': 'naʊ', 'my': 'maɪ', 'than': 'ðɐn', 'first': 'fɜːst',
+    'water': 'wɔːɾɚ', 'people': 'piːpəl', 'i': 'aɪ', 'me': 'miː',
+    'no': 'noʊ', 'us': 'ʌs', 'two': 'tuː', 'more': 'moːɹ', 'go': 'ɡoʊ',
     'say': 'seɪ', 'says': 'sɛz', 'very': 'vɛɹi', 'does': 'dʌz',
     'any': 'ɛni', 'our': 'aʊɚ', 'over': 'oʊvɚ', 'know': 'noʊ',
     'only': 'oʊnli', 'here': 'hɪɹ', 'also': 'ɔːlsoʊ', 'after': 'æftɚ',
     'again': 'ɐɡɛn', 'before': 'bɪfɔːɹ', 'through': 'θɹuː', 'where': 'wɛɹ',
     'should': 'ʃʊd', 'because': 'bɪkʌz', 'come': 'kʌm', 'something': 'sʌmθɪŋ',
     'give': 'ɡɪv', 'day': 'deɪ', 'most': 'moʊst', 'once': 'wʌns',
-    'love': 'lʌv', 'done': 'dʌn', 'gone': 'ɡɔːn', 'none': 'nʌn',
+    'love': 'lʌv', 'done': 'dʌn', 'gone': 'ɡɔn', 'none': 'nʌn',
     'great': 'ɡɹeɪt', 'eye': 'aɪ', 'eyes': 'aɪz', 'heart': 'hɑːɹt',
     'world': 'wɜːld', 'friend': 'fɹɛnd', 'woman': 'wʊmən', 'women': 'wɪmɪn',
     'beautiful': 'bjuːɾɪfəl', 'voice': 'vɔɪs', 'speech': 'spiːtʃ',
-    'please': 'pliːz', 'hello': 'hɛloʊ', 'four': 'fɔːɹ', 'though': 'ðoʊ',
-    'thought': 'θɔːt', 'enough': 'ɪnʌf', 'laugh': 'læf', 'island': 'aɪlənd',
-    'hour': 'aʊɚ', 'honest': 'ɑːnɪst', 'answer': 'ænsɚ', 'often': 'ɔːfən',
+    'please': 'pliːz', 'hello': 'həlˈoʊ', 'four': 'fɔːɹ', 'though': 'ðoʊ',
+    'thought': 'θɔːt', 'enough': 'ɪnˈʌf', 'laugh': 'læf', 'island': 'aɪlənd',
+    'hour': 'aʊɚ', 'honest': 'ɑːnɪst', 'answer': 'ænsɚ', 'often': 'ɔfən',
     'listen': 'lɪsən', 'half': 'hæf', 'talk': 'tɔːk', 'walk': 'wɔːk',
     'live': 'lɪv', 'lives': 'lɪvz', 'weren': 'wɜːn',
     'mr': 'mɪstɚ', 'mrs': 'mɪsɪz', 'dr': 'dɑːktɚ', 'st': 'seɪnt',
@@ -70,6 +70,8 @@ _LEXICON: Dict[str, str] = {
     'computer': 'kəmpjuːɾɚ', 'photo': 'foʊɾoʊ', 'good': 'ɡʊd',
     'foot': 'fʊt', 'put': 'pʊt', 'push': 'pʊʃ', 'pull': 'pʊl',
     'full': 'fʊl', 'move': 'muːv', 'prove': 'pɹuːv', 'above': 'ɐbʌv',
+    # FORCE-class oːɹ words (espeak distinguishes oːɹ/ɔːɹ; ARPAbet cannot)
+    'affordable': 'əfˈoːɹdəbəl', 'laboratory': 'lˈæbɹətˌoːɹi',
 }
 
 # ordered letter-to-sound rules: (pattern at current position, IPA, advance)
@@ -115,9 +117,18 @@ _NUMBER_WORDS = {
     '5': 'five', '6': 'six', '7': 'seven', '8': 'eight', '9': 'nine',
 }
 
+# Words espeak-ng en-us leaves without a primary stress mark. The core set
+# plus every word the frozen fixture (tests/fixtures/espeak_en_us_ipa.tsv)
+# attests as unstressed — espeak destresses most function words but DOES
+# stress e.g. 'who', 'been', 'did', 'two', 'not', so membership follows the
+# attested behavior, not a part-of-speech guess.
 _FUNCTION_WORDS = {
     'a', 'an', 'the', 'of', 'to', 'and', 'in', 'is', 'it', 'that', 'as',
     'at', 'on', 'or', 'by', 'for', 'but', 'if', 'so', 'was', 'be',
+    'you', 'his', 'they', 'this', 'have', 'from', 'one', 'had', 'what',
+    'all', 'were', 'when', 'your', 'can', 'said', 'there', 'each', 'which',
+    'she', 'how', 'will', 'then', 'them', 'these', 'some', 'her', 'would',
+    'him', 'into', 'has', 'could', 'my', 'than', 'get', 'with',
 }
 
 
@@ -229,7 +240,10 @@ def g2p_word(word: str, with_stress: bool = True) -> str:
             # derived from a curated (mark-less) base, e.g. 'goes' <- 'go'
             stressed = _add_stress(stressed)
         return stressed
-    if with_stress and word not in _FUNCTION_WORDS:
+    if not with_stress:
+        # a few curated entries carry espeak-attested marks ('into' ˌɪntʊ)
+        return ipa.replace('ˈ', '').replace('ˌ', '')
+    if 'ˈ' not in ipa and word not in _FUNCTION_WORDS:
         ipa = _add_stress(ipa)
     return ipa
 

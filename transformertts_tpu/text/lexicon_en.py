@@ -66,10 +66,23 @@ def arpa_to_ipa(phones: List[str]) -> str:
                 out.append('ˌ')
             if base == 'AH' and stress == 0:
                 out.append('ɐ' if i == 0 else 'ə')
+            elif (base == 'ER' and stress == 0 and i + 1 < n
+                  and _split(phones[i + 1])[0] in _VOWELS
+                  and _split(phones[i + 1])[1] == 0):
+                # espeak elides unstressed ER before another unstressed
+                # vowel: conference→kˈɑːnfɹəns, general→dʒˈɛnɹəl,
+                # every→ˈɛvɹi (kept as ɚ before stressed vowels/consonants)
+                out.append('ɹ')
             elif base == 'ER' and stress == 0:
                 out.append('ɚ')
             elif base == 'IY' and stress == 0 and i == n - 1:
                 out.append('i')
+            elif (base == 'AO' and i + 1 < n
+                  and _split(phones[i + 1])[0] in ('NG', 'G')):
+                # espeak en-us uses the LOT vowel before ŋ/ɡ: long→lˈɑːŋ,
+                # wrong→ɹˈɑːŋ, dog→dˈɑːɡ (CMUdict writes AO for all;
+                # fixture-attested)
+                out.append('ɑː')
             else:
                 out.append(_VOWELS[base])
         elif base == 'T' and 0 < i < n - 1:
@@ -211,7 +224,7 @@ leader L IY1 D ER0
 group G R UW1 P
 twenty T W EH1 N T IY0
 conference K AA1 N F ER0 AH0 N S
-scientist S AY1 AH0 N T IH0 S T
+scientist S AY1 AH0 N T IH2 S T
 cern S ER1 N
 laboratory L AE1 B R AH0 T AO2 R IY0
 discover D IH0 S K AH1 V ER0
@@ -220,7 +233,7 @@ way W EY1
 acute AH0 K Y UW1 T
 emotion IH0 M OW1 SH AH0 N
 emotional IH0 M OW1 SH AH0 N AH0 L
-intelligence IH0 N T EH1 L AH0 JH AH0 N S
+intelligence IH0 N T EH1 L IH0 JH AH0 N S
 style S T AY1 L
 senate S EH1 N AH0 T
 bill B IH1 L
@@ -238,7 +251,7 @@ peck P EH1 K
 pickle P IH1 K AH0 L
 pepper P EH1 P ER0
 definite D EH1 F AH0 N AH0 T
-definitely D EH1 F AH0 N AH0 T L IY0
+definitely D EH1 F IH0 N AH0 T L IY0
 try T R AY1
 sound S AW1 N D
 normal N AO1 R M AH0 L
